@@ -1,0 +1,57 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md / FIXTURES.md).
+
+All queries go through ``load_table`` so the one genuinely awkward fixture —
+``events.parquet`` storing TIMESTAMP(NANOS), which Spark reads only as long
+under ``spark.sql.legacy.parquet.nanosAsLong`` — is normalized in exactly one
+place: ns → µs truncation, matching DuckDB's ``ts::TIMESTAMP`` cast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table, normalizing types."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) surfaced as long: truncate ns → µs (matches
+            # DuckDB's ts::TIMESTAMP) and keep NTZ semantics (UTC session).
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view for spark.sql(...) use."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,10 @@
+"""Declared operator inventory (SURVEY.md §2B + LLM-pipeline ops).
+
+Importing this package populates the registry in ``ps_datalake_spark.registry``.
+"""
+
+from . import relational  # noqa: F401
+from . import semi_structured  # noqa: F401
+from . import event_windows  # noqa: F401
+from . import llm_ops  # noqa: F401
+from . import lake_ops  # noqa: F401

@@ -1,0 +1,983 @@
+"""Relational operator surface: SURVEY.md §2B B1–B24.
+
+Every query is declarative DataFrame API — Catalyst handles pushdown, pruning,
+join strategy (AQE), and codegen. Small dimension joins are explicitly
+broadcast. Each query carries the equivalent DuckDB oracle SQL with types and
+rounding aligned per the conventions in ``ps_datalake_spark.registry``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import query
+from ._util import T, dround, scratch_dir
+
+
+# ---------------------------------------------------------------------------
+# B1 — sources: parquet scan, csv + json round-trips
+# ---------------------------------------------------------------------------
+
+@query(
+    "b01_scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    tags=("B1",),
+    doc="Full parquet scan of the region table.",
+)
+def b01_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+@query(
+    "b01_scan_csv_roundtrip",
+    oracle="""
+    SELECT count(*) AS cnt,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+           round(sum(round(c_acctbal, 2)), 2) AS sum_bal,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_seg
+    FROM customer
+    """,
+    tags=("B1",),
+    doc="Write customer as CSV, read it back with an explicit schema, aggregate.",
+)
+def b01_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("csv_roundtrip")
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        dround("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    cust.write.mode("overwrite").option("header", True).csv(path)
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", IntegerType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.agg(
+        F.count("*").alias("cnt"),
+        F.sum("c_custkey").alias("sum_key"),
+        dround(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.countDistinct("c_mktsegment").alias("n_seg"),
+    )
+
+
+@query(
+    "b01_scan_json_roundtrip",
+    oracle="""
+    SELECT count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    """,
+    tags=("B1",),
+    doc="Write events (sans timestamp) as JSON lines, read back, aggregate.",
+)
+def b01_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("json_roundtrip")
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "props")
+    ev.write.mode("overwrite").json(path)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("props", StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.agg(
+        F.count("*").alias("cnt"),
+        F.sum("user_id").alias("sum_user"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B2 — partitioned parquet sink
+# ---------------------------------------------------------------------------
+
+@query(
+    "b02_sink_parquet_partitioned",
+    oracle="""
+    SELECT substr(sha256(text), 1, 2) AS hash_prefix,
+           count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("B2",),
+    doc="Hash-partitioned parquet sink (the lake's chunk layout), read back and re-aggregated.",
+)
+def b02_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("partitioned_sink")
+    docs = T(spark, sf_dir, "documents").select(
+        F.sha2(F.col("text").cast("binary"), 256).alias("hash"),
+        "doc_id",
+        "n_chars",
+    )
+    docs = docs.withColumn("hash_prefix", F.substring("hash", 1, 2))
+    docs.write.mode("overwrite").partitionBy("hash_prefix").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("hash_prefix")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("hash_prefix")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B3 / B4 — projection + filters
+# ---------------------------------------------------------------------------
+
+@query(
+    "b03_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS revenue,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           l_returnflag || '/' || l_linestatus AS flag_status
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("B3",),
+)
+def b03_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+        dround(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charge"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias("flag_status"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "b04_filter_battery",
+    oracle="""
+    SELECT count(*) AS cnt,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus LIKE 'F%'
+      AND (l_discount IS NOT DISTINCT FROM 0.05 OR l_tax > 0.06)
+      AND l_shipdate IS NOT NULL
+    """,
+    tags=("B4",),
+    doc="BETWEEN, IN, LIKE, null-safe equality, boolean algebra, null check.",
+)
+def b04_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    cond = (
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("F%")
+        & (F.col("l_discount").eqNullSafe(0.05) | (F.col("l_tax") > 0.06))
+        & F.col("l_shipdate").isNotNull()
+    )
+    return li.where(cond).agg(
+        F.count("*").alias("cnt"),
+        dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5 / B6 — joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "b05_join_inner_4way",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS order_cnt,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    tags=("B5",),
+    doc="4-way inner equi-join over the star schema; dims broadcast.",
+)
+def b05_join_inner_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    r = F.broadcast(T(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            dround(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "b05_join_left",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey) AS order_cnt,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+    tags=("B5",),
+)
+def b05_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            dround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "b05_join_full",
+    oracle="""
+    SELECT count(*) AS cnt,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_order
+    FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 50000) o
+      ON o.o_custkey = c.c_custkey
+    """,
+    tags=("B5",),
+    doc="Full outer join with nulls manufactured on both sides.",
+)
+def b05_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    o = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 50000)
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).cast("bigint").alias("null_cust"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).cast("bigint").alias("null_order"),
+    )
+
+
+@query(
+    "b06_broadcast_join",
+    oracle="""
+    SELECT n_name,
+           count(*) AS cust_cnt,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("B6",),
+    doc="Explicit broadcast hint on the nation dim (25 rows).",
+)
+def b06_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    n = F.broadcast(T(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cust_cnt"), dround(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "b07_semi_join",
+    oracle="""
+    SELECT count(*) AS cnt, CAST(sum(c_custkey) AS BIGINT) AS sum_key
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    tags=("B7",),
+)
+def b07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("cnt"), F.sum("c_custkey").alias("sum_key")
+    )
+
+
+@query(
+    "b07_anti_join",
+    oracle="""
+    SELECT count(*) AS cnt, CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS sum_key
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("B7",),
+)
+def b07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("cnt"),
+        F.coalesce(F.sum("c_custkey"), F.lit(0)).cast("bigint").alias("sum_key"),
+    )
+
+
+@query(
+    "b08_range_join",
+    oracle="""
+    SELECT count(*) AS pair_cnt,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+    FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events) a
+    JOIN (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events) b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 2 MINUTE
+    """,
+    tags=("B8",),
+    doc="Theta/range self-join: event pairs per user within a 2-minute window. "
+    "Equi-key on user_id keeps the shuffle bounded; the range predicate is "
+    "applied post-shuffle (interval-join pattern).",
+)
+def b08_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTES")),
+    )
+    return pairs.agg(
+        F.count("*").alias("pair_cnt"),
+        F.countDistinct(F.col("a.user_id")).alias("users"),
+    )
+
+
+@query(
+    "b09_cross_join",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+    """,
+    tags=("B9",),
+)
+def b09_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = T(spark, sf_dir, "region").select("r_name")
+    n = T(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n).orderBy("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# B10–B13 — aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "b10_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("B10", "flagship"),
+    doc="TPC-H Q1 pricing summary — the flagship hash-aggregation query.",
+)
+def b10_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            dround(F.sum(charge), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "b10_agg_minmax",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS cnt,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("B10",),
+)
+def b10_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            dround(F.min("o_totalprice"), 2).alias("min_price"),
+            dround(F.max("o_totalprice"), 2).alias("max_price"),
+            dround(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "b10_stats_agg",
+    oracle="""
+    SELECT round(stddev_samp(o_totalprice), 4) AS sd_price,
+           round(var_samp(o_totalprice), 2) AS var_price,
+           round(corr(o_totalprice, o_custkey), 6) AS corr_pc,
+           round(median(o_totalprice), 4) AS med_price
+    FROM orders
+    """,
+    tags=("B10",),
+    doc="Statistical aggregates: stddev/variance/corr/median.",
+)
+def b10_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.agg(
+        dround(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        dround(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        dround(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_pc"),
+        dround(F.median("o_totalprice"), 4).alias("med_price"),
+    )
+
+
+@query(
+    "b11_distinct",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    tags=("B11",),
+)
+def b11_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+@query(
+    "b11_count_distinct",
+    oracle="""
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders
+    """,
+    tags=("B11",),
+)
+def b11_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+    )
+
+
+@query(
+    "b12_approx_count_distinct",
+    oracle="""
+    SELECT true AS within_tol,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_cnt
+    FROM events
+    """,
+    tags=("B12",),
+    doc="approx_count_distinct checked against the exact count within 5% rel. "
+    "error (tolerance check folded into the result so it hash-matches).",
+)
+def b12_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_cnt"),
+        F.countDistinct("user_id").alias("exact_cnt"),
+    )
+    return agg.select(
+        (
+            F.abs(F.col("approx_cnt") - F.col("exact_cnt")) / F.col("exact_cnt") <= 0.05
+        ).alias("within_tol"),
+        "exact_cnt",
+    )
+
+
+@query(
+    "b13_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("B13",),
+)
+def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("cnt"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "b13_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("B13",),
+)
+def b13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("bigint").alias("gid"), F.count("*").alias("cnt"))
+        .select("l_returnflag", "l_linestatus", "gid", "cnt")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14–B16 — window functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "b14_rank_windows",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS tile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    tags=("B14",),
+)
+def b14_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("tile"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "b15_lag_lead",
+    oracle="""
+    SELECT event_id,
+           round(lag(value) OVER w, 6) AS prev_val,
+           round(lead(value) OVER w, 6) AS next_val,
+           round(first_value(value) OVER w2, 6) AS first_val,
+           round(last_value(value) OVER w2, 6) AS last_val
+    FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY event_id
+    """,
+    tags=("B15",),
+)
+def b15_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        dround(F.lag("value").over(w), 6).alias("prev_val"),
+        dround(F.lead("value").over(w), 6).alias("next_val"),
+        dround(F.first("value").over(w2), 6).alias("first_val"),
+        dround(F.last("value").over(w2), 6).alias("last_val"),
+    ).orderBy("event_id")
+
+
+@query(
+    "b16_window_frames",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+           count(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS near_cnt
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("B16",),
+    doc="Aggregate windows with ROWS and RANGE frames: running sum, moving avg, range count.",
+)
+def b16_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_mov = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        dround(F.sum("o_totalprice").over(w_rows), 2).alias("running_spend"),
+        dround(F.avg("o_totalprice").over(w_mov), 4).alias("moving_avg3"),
+        F.count("*").over(w_range).alias("near_cnt"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# B17–B20 — sort, limit/top-k, set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "b17_sort_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderpriority, '1-URGENT') AS prio,
+           round(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY prio ASC NULLS FIRST, price DESC NULLS LAST, o_orderkey
+    """,
+    tags=("B17",),
+    doc="Multi-key sort with explicit NULLS FIRST / NULLS LAST.",
+)
+def b17_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio"),
+        dround("o_totalprice", 2).alias("price"),
+    ).orderBy(
+        F.col("prio").asc_nulls_first(), F.col("price").desc_nulls_last(), F.col("o_orderkey")
+    )
+
+
+@query(
+    "b18_topk",
+    oracle="""
+    SELECT c_custkey, round(sum(o_totalprice), 2) AS revenue
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+    tags=("B18",),
+    doc="Global top-k: Spark plans TakeOrderedAndProject (no full sort).",
+)
+def b18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "b18_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+             round(o_totalprice, 2) AS price
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_orderpriority, rn
+    """,
+    tags=("B18",),
+)
+def b18_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            dround("o_totalprice", 2).alias("price"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@query(
+    "b19_union",
+    oracle="""
+    SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    FROM (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+    )
+    """,
+    tags=("B19",),
+    doc="union (ALL semantics) of two order slices — overlap intentionally double-counted.",
+)
+def b19_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_totalprice")
+    b = o.where(F.col("o_totalprice") > 100000).select("o_totalprice", "o_orderkey")
+    u = a.unionByName(b)  # column-name resolution, not positional
+    return u.agg(F.count("*").alias("cnt"), dround(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@query(
+    "b20_setops",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                             INTERSECT
+                             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS i_cnt,
+      (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                             INTERSECT ALL
+                             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS ia_cnt,
+      (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                             EXCEPT
+                             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS e_cnt,
+      (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                             EXCEPT ALL
+                             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')) AS ea_cnt
+    """,
+    tags=("B20",),
+)
+def b20_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    # All four set ops stay distributed; the four scalar aggregates are
+    # combined with 1-row cross joins (no driver-side collect).
+    i_cnt = f.intersect(op).agg(F.count("*").alias("i_cnt"))
+    ia_cnt = f.intersectAll(op).agg(F.count("*").alias("ia_cnt"))
+    e_cnt = f.subtract(op).agg(F.count("*").alias("e_cnt"))
+    ea_cnt = f.exceptAll(op).agg(F.count("*").alias("ea_cnt"))
+    return i_cnt.crossJoin(ia_cnt).crossJoin(e_cnt).crossJoin(ea_cnt)
+
+
+# ---------------------------------------------------------------------------
+# B21–B24 — scalar function batteries
+# ---------------------------------------------------------------------------
+
+@query(
+    "b21_strings",
+    oracle="""
+    SELECT p_partkey,
+           p_brand || '#' || p_type AS brand_type,
+           substr(p_name, 1, 10) AS name10,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           trim(p_name) AS tname,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS psize4,
+           split_part(p_name, ' ', 1) AS first_word,
+           regexp_extract(p_name, '[a-z]+') AS first_alpha,
+           regexp_replace(p_type, '[aeiou]', '', 'g') AS novowel,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           CAST(instr(p_name, 'a') AS BIGINT) AS a_pos
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("B21",),
+)
+def b21_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.trim("p_name").alias("tname"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("psize4"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract(F.col("p_name"), "[a-z]+", 0).alias("first_alpha"),
+        F.regexp_replace(F.col("p_type"), "[aeiou]", "").alias("novowel"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.instr(F.col("p_name"), "a").cast("bigint").alias("a_pos"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "b22_dates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           o_orderdate::DATE + 30 AS plus30,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT) AS days_since,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+           o_orderdate::DATE AS odate,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("B22",),
+)
+def b22_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).cast("bigint").alias(
+            "days_since"
+        ),
+        F.date_trunc("month", d).cast("timestamp_ntz").alias("month_start"),
+        d.cast("date").alias("odate"),
+        F.unix_timestamp(d.cast("timestamp")).alias("epoch_s"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "b23_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price1,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+           CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct,
+           round(abs(l_tax - 0.04), 6) AS tax_dev,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           round(exp(l_discount), 6) AS exp_disc,
+           round(ln(l_quantity + 1), 6) AS log_qty,
+           round(pow(l_quantity, 2), 2) AS qty_sq,
+           CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS key_mod,
+           to_hex(l_orderkey) AS key_hex
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("B23",),
+)
+def b23_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround("l_extendedprice", 1).alias("price1"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.ceil(F.col("l_tax") * 100).cast("bigint").alias("tax_pct"),
+        dround(F.abs(F.col("l_tax") - 0.04), 6).alias("tax_dev"),
+        dround(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        dround(F.exp("l_discount"), 6).alias("exp_disc"),
+        dround(F.log(F.col("l_quantity") + 1), 6).alias("log_qty"),
+        dround(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_mod"),
+        F.conv(F.col("l_orderkey").cast("string"), 10, 16).alias("key_hex"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "b24_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           round(greatest(o_totalprice, 150000.0), 2) AS at_least,
+           round(least(o_totalprice, 150000.0), 2) AS at_most
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("B24",),
+)
+def b24_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        dround(F.greatest(F.col("o_totalprice"), F.lit(150000.0)), 2).alias("at_least"),
+        dround(F.least(F.col("o_totalprice"), F.lit(150000.0)), 2).alias("at_most"),
+    ).orderBy("o_orderkey")

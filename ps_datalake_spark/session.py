@@ -1,0 +1,61 @@
+"""SparkSession construction + runtime conf hardening.
+
+The driver may hand us an already-built SparkSession, so every conf we depend
+on for correctness must either be runtime-settable (applied in ``configure``)
+or degraded around gracefully.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and desired) to set at session-build time.
+BUILD_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # driver testdata events.parquet stores TIMESTAMP(NANOS) which Spark
+    # cannot read natively; read as long and convert in io.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # local[32] with 128 GiB: modest shuffle parallelism; AQE coalesces down.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": "8g",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+}
+
+# Subset that is runtime-settable: applied defensively to externally provided
+# sessions (the driver's) before we read anything.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — loader falls back
+    return spark
+
+
+def get_spark(app_name: str = "ps-datalake-spark", master: str | None = None) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    b = SparkSession.builder.appName(app_name).master(master)
+    for k, v in BUILD_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure(spark)
