@@ -40,11 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             # TIMESTAMP(NANOS) surfaced as long: truncate ns → µs (matches
             # DuckDB's ts::TIMESTAMP) and keep NTZ semantics (UTC session).
+            # Integer division — ns epoch values exceed 2^53, so double
+            # division would lose the low microsecond.
             df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
-                    "timestamp_ntz"
-                ),
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
             )
         elif ts_type == "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))

@@ -1,0 +1,243 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four tiers, all deterministic:
+
+* exact:       sha2 content hash + groupBy            (b34)
+* n-gram Jaccard: exact set similarity on shingles    (b35, oracle-checkable)
+* MinHash+LSH: banded signatures, candidate join      (b35, scale path)
+* SimHash:     64-bit fingerprints + hamming banding  (b35, scale path)
+
+Scale design (100 TB): every pairwise step is keyed — shingle join for the
+exact tier (bounded by shingle df), (band_idx, band_hash) join for LSH — never
+an unkeyed cross join. Signatures are fixed-width (K longs), so the LSH
+shuffle is O(docs × bands), independent of document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercased whitespace tokens (matches DuckDB string_split_regex)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side, no UDF)."""
+    toks = tokenize(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Content-hash dedup: one row per distinct content, keeper = min id.
+
+    Mirrors the reference's content-addressed put-idempotence
+    (/root/reference/src/store/mod.rs:321-326) at corpus scale.
+    """
+    h = F.sha2(F.col(content_col).cast("binary"), 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
+
+    Shuffle is keyed on the shingle (posting-list join), so cost is
+    sum(df_shingle²) not docs² — the standard exact-verification stage after
+    an LSH candidate pass at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = df.select(
+        F.col(id_col).alias("doc"), F.size(shingles(F.col(text_col), n)).alias("n_sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 64, n: int = 3
+) -> DataFrame:
+    """K-permutation MinHash signatures via seeded xxhash64 (JVM, no UDF).
+
+    Hash function i is xxhash64(i, shingle); the signature is the K column
+    mins — one aggregation pass over the exploded shingles.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
+    agg = sh.groupBy("doc").agg(*mins)
+    return agg.select("doc", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
+    """Banded LSH: docs agreeing on any band of the signature become candidates."""
+    k = bands  # rows per band computed from signature length at runtime
+    banded = sig_df.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b,
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * (F.size("sig") / bands).cast("int") + 1,
+                                (F.size("sig") / bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection with estimated-Jaccard scoring.
+
+    est_jaccard = fraction of the K signature components that agree.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n)
+    cands = lsh_candidate_pairs(sigs, bands=bands)
+    sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (agree / F.lit(k)).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprints (Arrow-batched pandas UDF for bit packing).
+
+    Token hashing uses blake2b(digest_size=8) — deterministic across
+    processes (unlike Python's salted hash()).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's hint inference can't resolve → legacy SCALAR mode
+    @pandas_udf("long")
+    def _simhash(texts):
+        shifts = np.arange(64, dtype=np.uint64)
+        one = np.uint64(1)
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in t.lower().split():
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+                    )
+                )
+                bits = (h >> shifts) & one
+                acc += np.where(bits == one, 1, -1)
+            fp = np.bitwise_or.reduce(np.where(acc > 0, one << shifts, np.uint64(0)))
+            out[i] = np.int64(fp.view(np.int64)) if isinstance(fp, np.uint64) else int(fp)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any equal
+    band → candidate, guaranteed to catch hamming ≤ 3 by pigeonhole), then
+    exact hamming via bit_count(xor)."""
+    fps = simhash64(df, id_col, text_col)
+    banded = fps.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine is the correctness baseline (JVM-side zip_with/aggregate —
+no Python in the loop). The scale path is deterministic random-projection LSH:
+bucket on sign bits, search only within buckets.
+
+Scale design (100 TB): brute-force top-k broadcasts the (small) query set and
+scans the corpus once — no shuffle of the corpus itself. LSH reduces the
+candidate set per query to one bucket; bucket skew is bounded by n_planes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame, id_col: str, vec_col: str, query_ids: list[int], k: int = 3
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors, single corpus scan."""
+    from pyspark.sql.window import Window
+
+    base = emb.select(F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec"))
+    qs = F.broadcast(
+        emb.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+        )
+    )
+    scored = (
+        base.crossJoin(qs)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def cosine_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: float) -> DataFrame:
+    """All pairs with cosine >= threshold (brute force, id_a < id_b)."""
+    a = emb.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def _projection_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from blake2b — no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.blake2b(struct.pack("<II", p, d), digest_size=8).digest()
+            u = int.from_bytes(h, "big") / 2**64  # [0, 1)
+            row.append(u - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of a vector under the projection planes (JVM expr)."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(w) for w in plane])
+        bit = (dot(vec, lit_plane) > 0).cast("bigint")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def _probe_buckets(n_planes: int, radius: int) -> list[int]:
+    """XOR masks for multi-probe: all bucket codes within hamming ≤ radius."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """ANN: random-projection LSH bucketing + multi-probe, exact cosine within
+    the probed buckets.
+
+    At scale the corpus is written bucketed by `bucket` (partition pruning →
+    each query reads only its probed buckets); here the bucket join expresses
+    the same plan. Multi-probe (hamming ≤ probe_radius around the query's
+    bucket) trades bounded extra reads for recall — the standard remedy when
+    neighbors sit near the decision boundary of a projection.
+    """
+    from pyspark.sql.window import Window
+
+    planes = _projection_planes(n_planes, dim)
+    base = emb.select(
+        F.col(id_col).alias("cand_id"),
+        _as_double(vec_col).alias("cvec"),
+    ).withColumn("bucket", lsh_bucket(F.col("cvec"), planes))
+    masks = _probe_buckets(n_planes, probe_radius)
+    qs = F.broadcast(
+        base.where(F.col("cand_id").isin(query_ids))
+        .select(
+            F.col("cand_id").alias("query_id"),
+            F.col("cvec").alias("qvec"),
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("qbucket"),
+        )
+    )
+    scored = (
+        base.join(qs, F.col("bucket") == F.col("qbucket"))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rnk").cast("bigint").alias("rnk"))
+    )

@@ -1,1 +1,315 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time windows + Structured Streaming: SURVEY.md §2B B30–B33.
+
+Batch queries use the same ``window()`` / ``session_window()`` expressions the
+streaming engine uses, so their DuckDB oracles double as golden outputs for
+the streaming variants. The ``*_stream`` queries run a real Structured
+Streaming job (readStream → watermark → stateful op → memory sink) with an
+availableNow trigger inside the callable and return the sink as a DataFrame —
+end-to-end streaming, still oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ._util import T, dround
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream with ts normalized (ns→µs, UTC timestamp).
+
+    The file stream source requires a directory, so the single parquet file is
+    staged (symlinked) into a scratch dir once per (process, sf_dir).
+    """
+    import os
+
+    from ..session import configure
+    from ._util import scratch_dir
+
+    configure(spark)  # vanilla driver sessions need nanosAsLong before any read
+    stage = scratch_dir(f"events_stream_{abs(hash(sf_dir))}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except OSError:
+            import shutil
+
+            shutil.copy2(f"{sf_dir}/events.parquet", link)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        # integer division: ns epoch exceeds 2^53 (see io.load_table)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DF with availableNow into a memory sink; return it."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# B30 — tumbling windows (batch + true streaming)
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+    SELECT window_start,
+           window_start + INTERVAL 10 MINUTE AS window_end,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS sum_val
+    FROM (SELECT time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS window_start,
+                 event_type, value
+          FROM events)
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """
+
+
+@query(
+    "b30_tumbling_window",
+    oracle=_TUMBLING_ORACLE,
+    tags=("B30",),
+    doc="Tumbling 10-minute event-time windows (batch execution of the streaming expression).",
+)
+def b30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "10 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_val"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_val",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "b30_tumbling_stream",
+    oracle=_TUMBLING_ORACLE,
+    tags=("B30", "streaming"),
+    doc="True Structured Streaming: readStream → watermark → tumbling window agg "
+    "→ memory sink (complete mode), availableNow trigger. Hash-matches the "
+    "batch oracle — exactly-once window semantics.",
+)
+def b30_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window(F.col("ts"), "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_val"))
+    )
+    mem = _run_to_memory(agg, "complete")
+    return mem.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "cnt",
+        "sum_val",
+    ).orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# B31 — sliding + session windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "b31_sliding_window",
+    oracle="""
+    SELECT window_start,
+           window_start + INTERVAL 10 MINUTE AS window_end,
+           count(*) AS cnt,
+           round(sum(value), 2) AS sum_val
+    FROM (SELECT unnest([tb5, tb5 - INTERVAL 5 MINUTE]) AS window_start, value
+          FROM (SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP) AS tb5, value
+                FROM events))
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    tags=("B31",),
+    doc="Sliding windows (10 min length, 5 min slide): each event lands in two windows.",
+)
+def b31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_val"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "cnt",
+            "sum_val",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "b31_session_window",
+    oracle="""
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessioned AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS cnt
+    FROM sessioned
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("B31",),
+    doc="Session windows (5-minute gap) per user; oracle is the classic "
+    "gaps-and-islands rewrite. Spark merges events with gap < 5 min strictly; "
+    "session end = last event + gap.",
+)
+def b31_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "5 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.col("s.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("s.end").cast("timestamp_ntz").alias("session_end"),
+            "cnt",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B32 — dedup (batch + streaming with watermark)
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+    SELECT count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM (SELECT DISTINCT event_id, user_id FROM events)
+    """
+
+
+@query(
+    "b32_dedup",
+    oracle=_DEDUP_ORACLE,
+    tags=("B32",),
+    doc="dropDuplicates over a doubled input (union of events with itself).",
+)
+def b32_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id")
+    doubled = ev.unionByName(ev)
+    deduped = doubled.dropDuplicates(["event_id"])
+    return deduped.agg(
+        F.count("*").alias("cnt"),
+        F.sum("user_id").alias("sum_user"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+@query(
+    "b32_dedup_stream",
+    oracle=_DEDUP_ORACLE,
+    tags=("B32", "streaming"),
+    doc="Streaming dedup: two readStreams of the same source unioned, "
+    "withWatermark + dropDuplicates(event_id), append mode. Each event_id is "
+    "emitted exactly once.",
+)
+def b32_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    s2 = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    doubled = s1.unionByName(s2)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    mem = _run_to_memory(deduped, "append")
+    return mem.agg(
+        F.count("*").alias("cnt"),
+        F.sum("user_id").alias("sum_user"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B33 — stateful streaming aggregation, output modes
+# ---------------------------------------------------------------------------
+
+@query(
+    "b33_stateful_agg_stream",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS sum_val,
+           round(min(value), 6) AS min_val,
+           round(max(value), 6) AS max_val
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("B33", "streaming"),
+    doc="Unwindowed stateful streaming aggregation per event_type "
+    "(complete output mode) — global running state across microbatches.",
+)
+def b33_stateful_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        dround(F.sum("value"), 2).alias("sum_val"),
+        dround(F.min("value"), 6).alias("min_val"),
+        dround(F.max("value"), 6).alias("max_val"),
+    )
+    mem = _run_to_memory(agg, "complete")
+    return mem.select("event_type", "cnt", "sum_val", "min_val", "max_val").orderBy("event_type")
+
+
+@query(
+    "b33_update_mode_stream",
+    oracle=None,  # update-mode emission counts depend on microbatch split → rows-only
+    tags=("B33", "streaming"),
+    doc="Update output mode: windowed agg with watermark; emits per-batch "
+    "updated windows. Emission multiplicity is batch-split-dependent, so this "
+    "is a rows-only check (the final per-window values are covered by "
+    "b30_tumbling_stream's complete-mode hash match).",
+)
+def b33_update_mode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window(F.col("ts"), "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    mem = _run_to_memory(agg, "update")
+    return mem.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "cnt",
+    ).orderBy("window_start", "cnt")

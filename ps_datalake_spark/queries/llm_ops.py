@@ -1,1 +1,355 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM training-data pipeline queries: SURVEY.md §2B B34–B37 + multimodal.
+
+Thin registrations over the real implementations in
+``ps_datalake_spark.operators`` (dedup / similarity / text / multimodal).
+Exact operators are oracle-checked against DuckDB; hash-family operators
+(MinHash, SimHash, xxhash64 sampling) use Spark-internal hashes DuckDB cannot
+reproduce, so they carry rows-only checks — each is paired with an exact,
+oracle-checked counterpart covering the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..registry import query
+from ._util import T, dround
+
+
+# ---------------------------------------------------------------------------
+# B34 — exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "b34_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           count(*) AS copies
+    FROM documents
+    GROUP BY sha256(text)
+    ORDER BY content_hash
+    """,
+    tags=("B34", "llm"),
+    doc="Content-hash dedup over documents (reference put-idempotence at corpus scale).",
+)
+def b34_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text").orderBy("content_hash")
+
+
+# ---------------------------------------------------------------------------
+# B35 — near-dup detection (exact Jaccard oracle + MinHash/SimHash scale paths)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "b35_jaccard_pairs",
+    oracle=_JACCARD_ORACLE,
+    tags=("B35", "llm"),
+    doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.3) — the "
+    "verification stage of the dedup pipeline, posting-list join (keyed on "
+    "shingle, never docs×docs).",
+)
+def b35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return pairs.select("id_a", "id_b", dround("jaccard", 4).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "b35_minhash_lsh",
+    oracle=None,  # xxhash64-based signatures are not reproducible in DuckDB
+    tags=("B35", "llm"),
+    doc="MinHash(64) + 16-band LSH near-dup candidates with estimated Jaccard "
+    "— the 100 TB-scale path (signature shuffle is O(docs×bands)). Recall vs "
+    "the exact Jaccard oracle is asserted in tests/test_llm_ops.py.",
+)
+def b35_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup_pairs(docs, "doc_id", "text", k=64, bands=16, threshold=0.3)
+    return pairs.select("id_a", "id_b", dround("est_jaccard", 4).alias("est_jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "b35_simhash",
+    oracle=None,  # blake2b bit-packing not expressible in DuckDB SQL
+    tags=("B35", "llm"),
+    doc="SimHash-64 near-dup pairs (hamming ≤ 3) via 4×16-bit band join + "
+    "bit_count(xor) — catches hamming ≤ 3 exactly by pigeonhole.",
+)
+def b35_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B36 — similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_EXPR = """
+      list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum')))
+"""
+
+
+@query(
+    "b36_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             {_COSINE_EXPR} AS cos
+      FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, round(cos, 6) AS cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id, cos, rnk FROM ranked WHERE rnk <= 3
+    ORDER BY query_id, rnk
+    """,
+    tags=("B36", "llm"),
+    doc="Brute-force cosine top-3 neighbors for query vectors 0-9 (broadcast "
+    "queries, single corpus scan — the exact baseline for ANN).",
+)
+def b36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    topk = S.cosine_topk(emb, "vec_id", "embedding", query_ids=list(range(10)), k=3)
+    return topk.select("query_id", "cand_id", dround("cos", 6).alias("cos"), "rnk").orderBy(
+        "query_id", "rnk"
+    )
+
+
+@query(
+    "b36_cosine_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COSINE_EXPR}, 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COSINE_EXPR} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    tags=("B36", "llm"),
+    doc="Embedding-cosine near-dup pairs (threshold 0.4), brute force.",
+)
+def b36_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    pairs = S.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return pairs.select("id_a", "id_b", dround("cos", 6).alias("cos")).orderBy("id_a", "id_b")
+
+
+@query(
+    "b36_ann_lsh",
+    oracle=None,  # bucket assignment depends on blake2b-derived planes
+    tags=("B36", "llm"),
+    doc="ANN top-3 via deterministic random-projection LSH (6 planes, "
+    "exact cosine within bucket). Recall vs brute force asserted in tests.",
+)
+def b36_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    topk = S.ann_lsh_topk(emb, "vec_id", "embedding", query_ids=list(range(10)), k=3)
+    return topk.select("query_id", "cand_id", dround("cos", 6).alias("cos"), "rnk").orderBy(
+        "query_id", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B37 — text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "b37_token_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           round(list_aggregate(list_transform(t, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                 / len(t), 4) AS avg_token_len,
+           round(CAST(len(list_filter(t, x -> list_contains(
+                 ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+                 / len(t), 4) AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS punct_ratio
+    FROM toks ORDER BY doc_id
+    """,
+    tags=("B37", "llm"),
+    doc="Per-document token counts, lexical diversity, stopword/punct ratios.",
+)
+def b37_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    st = X.token_stats(docs, "doc_id", "text")
+    return st.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        dround("avg_token_len", 4).alias("avg_token_len"),
+        dround("stopword_ratio", 4).alias("stopword_ratio"),
+        dround("punct_ratio", 4).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "b37_lang_id",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+        CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','nicht'], x))) AS BIGINT) AS hits_de,
+        CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS hits_en,
+        CAST(len(list_filter(t, x -> list_contains(['el','la','los','y','que'], x))) AS BIGINT) AS hits_es,
+        CAST(len(list_filter(t, x -> list_contains(['le','la','les','et','que'], x))) AS BIGINT) AS hits_fr,
+        CAST(len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS BIGINT) AS hits_zh
+      FROM toks
+    )
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+           CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+                WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+                WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+                WHEN hits_fr >= hits_zh THEN 'fr'
+                ELSE 'zh' END AS lang_guess
+    FROM hits ORDER BY doc_id
+    """,
+    tags=("B37", "llm"),
+    doc="Marker-word language-ID heuristic (argmax, alphabetical tie-break).",
+)
+def b37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return X.lang_id(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "b37_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+           substr(sha256(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("B37", "llm"),
+    doc="Normalization fingerprint: sha256 of lowercased, space-collapsed text.",
+)
+def b37_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return X.fingerprint(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "b37_tfidf_top",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf * ln(CAST(n AS DOUBLE) / df) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id AS doc, term, round(tfidf, 6) AS tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 1 ORDER BY doc
+    """,
+    tags=("B37", "llm"),
+    doc="Exact TF-IDF top term per document (join-based, oracle-checkable).",
+)
+def b37_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    top = X.tfidf_top_terms(docs, "doc_id", "text", k=1)
+    return top.select("doc", "term", dround("tfidf", 6).alias("tfidf"), "rnk").orderBy("doc")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "b39_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+           CAST(CAST('0x' || substr(sha256(text), 1, 2) AS INTEGER) + 1 AS BIGINT) AS width,
+           CAST(CAST('0x' || substr(sha256(text), 3, 2) AS INTEGER) + 1 AS BIGINT) AS height,
+           CAST((CAST('0x' || substr(sha256(text), 1, 2) AS INTEGER) + 1)
+                * (CAST('0x' || substr(sha256(text), 3, 2) AS INTEGER) + 1) AS BIGINT) AS n_pixels,
+           sha256(text) AS content_sha
+    FROM documents ORDER BY id
+    """,
+    tags=("B39", "llm", "multimodal"),
+    doc="Multimodal pipeline: text→binary blob→mapInPandas decode (stubbed "
+    "deterministic codec). Schema/batching/partition plumbing is real; the "
+    "codec byte-level work is content-hash-derived so the oracle can check it.",
+)
+def b39_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    blobs = M.to_blob(docs, "doc_id", "text", media_type="text/plain")
+    decoded = M.decode_stub(blobs)
+    return decoded.select(
+        "id", "byte_size", "width", "height", "n_pixels", "content_sha"
+    ).orderBy("id")
+
+
+@query(
+    "b39_frame_sample",
+    oracle=None,  # xxhash64 sampling not reproducible in DuckDB
+    tags=("B39", "llm", "multimodal"),
+    doc="Deterministic 1-in-10 frame/blob sampling via xxhash64(id) — "
+    "partition-preserving sampling shape used by video frame extraction.",
+)
+def b39_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    blobs = M.to_blob(docs, "doc_id", "text")
+    sampled = M.frame_sample(blobs, every_nth=10)
+    return sampled.select("id", "byte_size", "magic").orderBy("id")

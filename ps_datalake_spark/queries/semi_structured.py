@@ -1,1 +1,270 @@
-"""Placeholder — populated in a later milestone."""
+"""Semi-structured surface: SURVEY.md §2B B25–B29.
+
+Arrays (higher-order functions), maps, JSON, Python/pandas UDFs and grouped
+pandas (applyInPandas). Array math stays JVM-side via ``transform`` /
+``filter`` / ``aggregate``; only the declared UDF surface crosses to Python,
+and always Arrow-batched (pandas_udf / applyInPandas), never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ._util import T, dround
+
+
+# ---------------------------------------------------------------------------
+# B25 — array functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "b25_array_explode",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+    FROM embeddings
+    ORDER BY vec_id, pos
+    """,
+    tags=("B25",),
+    doc="posexplode of the embedding array (0-based positions).",
+)
+def b25_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            dround(F.col("val").cast("double"), 6).alias("val"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+@query(
+    "b25_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val,
+           round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_val,
+           CAST(len(list_distinct(embedding)) AS BIGINT) AS n_distinct,
+           round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x), 'sum')), 4) AS l2_norm
+    FROM embeddings ORDER BY vec_id
+    """,
+    tags=("B25",),
+    doc="size, element_at, array max/min via sort, array_distinct, L2 norm via aggregate.",
+)
+def b25_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        dround(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        dround(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        dround(F.element_at(F.sort_array("embedding"), 1).cast("double"), 6).alias("min_val"),
+        F.size(F.array_distinct("embedding")).cast("bigint").alias("n_distinct"),
+        dround(
+            F.sqrt(F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x)), 4
+        ).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "b25_array_construct",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(list_contains([n_nationkey, n_regionkey], 1) AS BOOLEAN) AS has_one,
+           CAST(len(generate_series(0, n_nationkey)) AS BIGINT) AS seq_len,
+           CAST(list_aggregate(generate_series(0, n_nationkey), 'sum') AS BIGINT) AS seq_sum
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("B25",),
+    doc="array construction, array_contains, sequence, aggregate over the sequence.",
+)
+def b25_array_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = T(spark, sf_dir, "nation")
+    seq = F.sequence(F.lit(0), F.col("n_nationkey"))
+    return n.select(
+        "n_nationkey",
+        F.array_contains(F.array("n_nationkey", "n_regionkey"), 1).alias("has_one"),
+        F.size(seq).cast("bigint").alias("seq_len"),
+        F.aggregate(seq, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("seq_sum"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "b25_zip_with",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(a.embedding AS DOUBLE[]) AS ea, CAST(b.embedding AS DOUBLE[]) AS eb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 20
+    )
+    SELECT id_a, id_b,
+           round(list_aggregate(list_transform(generate_series(1, len(ea)),
+                 i -> ea[i] * eb[i]), 'sum'), 4) AS dot
+    FROM pairs ORDER BY id_a
+    """,
+    tags=("B25",),
+    doc="zip_with elementwise product + aggregate = dot product of adjacent vectors.",
+)
+def b25_zip_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.where(F.col("vec_id") < 20).alias("a")
+    b = e.alias("b")
+    j = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return j.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        dround(dot, 4).alias("dot"),
+    ).orderBy("id_a")
+
+
+# ---------------------------------------------------------------------------
+# B26 / B27 — maps + JSON
+# ---------------------------------------------------------------------------
+
+@query(
+    "b26_maps",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(event_id AS VARCHAR) AS id_from_map
+    FROM events ORDER BY event_id
+    """,
+    tags=("B26",),
+    doc="from_json→map, map_keys/map_values, element_at, create_map.",
+)
+def b26_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    own = F.create_map(F.lit("id"), F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(own, "id").alias("id_from_map"),
+    ).orderBy("event_id")
+
+
+@query(
+    "b27_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           '{"event_id":' || event_id || '}' AS self_json,
+           'STRUCT<k: BIGINT>' AS inferred_schema
+    FROM events ORDER BY event_id
+    """,
+    tags=("B27",),
+    doc="get_json_object / from_json / to_json / schema_of_json.",
+)
+def b27_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "struct<k:bigint>")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.to_json(F.struct(F.col("event_id"))).alias("self_json"),
+        F.schema_of_json(F.lit('{"k": 87}')).alias("inferred_schema"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# B28 / B29 — UDF surface (Arrow-batched only)
+# ---------------------------------------------------------------------------
+
+@query(
+    "b28_pandas_udf",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS text_sha,
+           to_base64(encode(substr(text, 1, 16))) AS head_b64
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("B28",),
+    doc="Vectorized pandas_udf (Arrow-batched): sha256 + base64 — the lake's "
+    "hash/hkey codec primitives. Row-at-a-time Python UDFs are deliberately "
+    "not used anywhere in the engine.",
+)
+def b28_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def sha256_hex(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: hashlib.sha256(t.encode("utf-8")).hexdigest())
+
+    @pandas_udf("string")
+    def b64_head(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: base64.b64encode(t[:16].encode("utf-8")).decode("ascii"))
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        sha256_hex(F.col("text")).alias("text_sha"),
+        b64_head(F.col("text")).alias("head_b64"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "b29_apply_in_pandas",
+    oracle="""
+    SELECT label, dim, round(avg(val), 6) AS centroid
+    FROM (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings)
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    tags=("B29",),
+    doc="Grouped-map UDAF via applyInPandas: per-label embedding centroid.",
+)
+def b29_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["emb"].values)
+        means = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": np.arange(mat.shape[1], dtype="int64"),
+                "centroid": means,
+            }
+        )
+
+    out = e.groupBy("label").applyInPandas(centroid, "label int, dim bigint, centroid double")
+    return out.select("label", "dim", dround("centroid", 6).alias("centroid")).orderBy(
+        "label", "dim"
+    )

@@ -1,0 +1,55 @@
+"""Quality checks for the hash-family operators that can't be oracle-matched:
+MinHash-LSH recall vs exact Jaccard, ANN-LSH recall vs brute-force cosine,
+SimHash sanity."""
+
+from __future__ import annotations
+
+from ps_datalake_spark.io import load_table
+from ps_datalake_spark.operators import dedup as D
+from ps_datalake_spark.operators import similarity as S
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_neardup_pairs(
+            docs, "doc_id", "text", k=64, bands=16, threshold=0.3
+        ).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"MinHash-LSH recall {recall:.2f} < 0.9 ({exact - approx})"
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in S.cosine_topk(emb, "vec_id", "embedding", qids, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in S.ann_lsh_topk(
+            emb, "vec_id", "embedding", qids, k=3, n_planes=4, probe_radius=2
+        ).collect()
+    }
+    # multi-probe (hamming ≤ 2 of 4 planes) should recover the true top-1 for
+    # most queries even on this near-random fixture (top-1 cosine ≈ 0.5)
+    hits = sum(1 for pair in exact if pair in approx)
+    assert hits >= len(exact) * 0.5, f"ANN recall too low: {hits}/{len(exact)}"
+
+
+def test_simhash_is_deterministic_and_selective(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fp1 = {r.doc: r.simhash for r in D.simhash64(docs, "doc_id", "text").collect()}
+    fp2 = {r.doc: r.simhash for r in D.simhash64(docs, "doc_id", "text").collect()}
+    assert fp1 == fp2
+    pairs = D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    n_docs = docs.count()
+    assert len(pairs) < n_docs * 5, "simhash should be selective, not all-pairs"
