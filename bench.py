@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ..., "duckdb": {...}}
+
+DuckDB single-threaded-equivalent times for the same oracle SQL are included
+for the ≤2× BASELINE comparison (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ps_datalake_spark.registry import all_queries
+from ps_datalake_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per major execution path (scan+agg, star join, windows,
+# range join, event windows, streaming, dedup tiers, similarity, lake core).
+HEADLINE = [
+    "b10_tpch_q1",
+    "b05_join_inner_4way",
+    "b16_window_frames",
+    "b08_range_join",
+    "b13_rollup",
+    "b18_topk",
+    "b30_tumbling_window",
+    "b31_session_window",
+    "b34_exact_dedup",
+    "b35_minhash_lsh",
+    "b36_cosine_topk",
+    "b37_token_stats",
+    "b38_put_dedup",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan without sink overhead (noop writer keeps every
+    operator, unlike count() which lets Catalyst prune)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    specs = all_queries()
+    spark = get_spark(app_name="ps-datalake-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm up the JVM + parquet footers once, outside the timed region
+    specs["b01_scan_parquet"].build(spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(specs[name].build(spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    duck_times: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        for name in HEADLINE:
+            spec = specs[name]
+            if spec.oracle is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            duck_times[name] = round(time.perf_counter() - t0, 3)
+        con.close()
+    except Exception:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "duckdb": duck_times,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

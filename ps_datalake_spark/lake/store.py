@@ -1,0 +1,488 @@
+"""Store: one content-addressed chunk store = a directory of partitioned
+Parquet datasets + a JSON manifest.
+
+reference ↔ Spark mapping (SURVEY.md §1.4):
+  mmap'd file w/ header+index+pages      → chunks/ Parquet dataset partitioned
+                                           by hash_prefix (+ manifest.json as
+                                           the header: magic, version, layout)
+  open-addressing hash index (A6/A7)     → partition pruning on hash_prefix +
+                                           Parquet min/max stats on hash
+  bump allocator / pages (A10)           → Parquet append mode
+  8 load-time corruption checks (A4)     → manifest magic/version/layout checks
+                                           + dataset schema assertion
+  sentinel page 0 (store/mod.rs:231-235) → sentinel chunk written at create
+
+Size routing (A11–A14, store/mod.rs:399-436):
+  ≤ MAX_SIZE_RAW        → inline raw hkey, nothing stored
+  ≤ MAX_DECRYPTED_SIZE  → convergent-encrypt, store under sha256(ciphertext)
+  else                  → split into TREE_CHUNK_SIZE chunks → child puts +
+                          manifests rows keyed by sha256(plaintext)
+
+Scale notes: every put is one anti-join (dedup, A10's probe-then-write) + one
+partitioned append; no driver-side loops over rows. hash_prefix gives 16^n
+balanced partitions (content hashes are uniform); point reads prune to one
+partition and one row group via min/max stats on `hash`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..errors import Corrupted, NotFound, StoreOutOfSpace, StoreReadOnly
+from . import crypto
+from .hkey import Hkey
+
+MAGIC = "datalake/v1"
+SENTINEL = b"<< DATA SEGMENT BEGINS HERE >>"
+
+MAX_SIZE_RAW = 128  # inline threshold (reference: MAX_SIZE_RAW in ps-hkey)
+MAX_DECRYPTED_SIZE = 1 << 20  # single-chunk ceiling (reference: MAX_DECRYPTED_SIZE)
+TREE_CHUNK_SIZE = 256 << 10  # chunk-tree split size
+_AEAD_OVERHEAD = 16  # allowed ciphertext growth before the A12 plain fallback
+
+CHUNKS_SCHEMA = StructType(
+    [
+        StructField("hash", StringType(), False),
+        StructField("size", LongType(), False),
+        StructField("enc", StringType(), False),  # 'plain' | cipher name
+        StructField("data", BinaryType(), False),
+        StructField("hash_prefix", StringType(), False),
+    ]
+)
+
+MANIFESTS_SCHEMA = StructType(
+    [
+        StructField("root_hash", StringType(), False),
+        StructField("seq", IntegerType(), False),
+        StructField("child_hash", StringType(), False),
+        StructField("child_key", StringType(), True),
+        StructField("child_enc", StringType(), False),
+        StructField("length", LongType(), False),
+    ]
+)
+
+_ENC_RESULT_SCHEMA = (
+    "id long, hash string, size long, enc string, data binary, key string, kind string"
+)
+
+
+def _encrypt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: convergent-encrypt payloads, with the A12 guard
+    (store plaintext if the ciphertext expands beyond the AEAD allowance)."""
+    import hashlib
+
+    cname = crypto.cipher_name()
+    for pdf in batches:
+        out = {"id": [], "hash": [], "size": [], "enc": [], "data": [], "key": [], "kind": []}
+        for blob_id, payload in zip(pdf["id"], pdf["data"]):
+            plain = bytes(payload)
+            key = crypto.convergent_key(plain)
+            cipher = crypto.encrypt(plain, key)
+            if len(cipher) > len(plain) + _AEAD_OVERHEAD:
+                stored, enc, key_hex, kind = plain, "plain", None, "plain"
+            else:
+                stored, enc, key_hex, kind = cipher, cname, key.hex(), "enc"
+            out["id"].append(blob_id)
+            out["hash"].append(hashlib.sha256(stored).hexdigest())
+            out["size"].append(len(plain))
+            out["enc"].append(enc)
+            out["data"].append(stored)
+            out["key"].append(key_hex)
+            out["kind"].append(kind)
+        yield pd.DataFrame(out)
+
+
+def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: split oversized blobs into tree chunks."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"id": [], "root_hash": [], "root_size": [], "seq": [], "data": []}
+        for blob_id, payload in zip(pdf["id"], pdf["data"]):
+            plain = bytes(payload)
+            root = hashlib.sha256(plain).hexdigest()
+            for seq, off in enumerate(range(0, len(plain), TREE_CHUNK_SIZE)):
+                out["id"].append(blob_id)
+                out["root_hash"].append(root)
+                out["root_size"].append(len(plain))
+                out["seq"].append(seq)
+                out["data"].append(plain[off : off + TREE_CHUNK_SIZE])
+        yield pd.DataFrame(out)
+
+
+class Store:
+    def __init__(self, spark: SparkSession, path: str, readonly: bool, manifest: dict):
+        from ..session import configure
+
+        configure(spark)  # UTC/nanos confs + ship package zip to Python workers
+        self.spark = spark
+        self.path = path
+        self.readonly = readonly
+        self.manifest = manifest
+        self.prefix_len = int(manifest.get("prefix_len", 2))
+        self.quota_bytes = manifest.get("quota_bytes")
+
+    # -- lifecycle (A1 / A4 / A5) -------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        prefix_len: int = 2,
+        quota_bytes: int | None = None,
+    ) -> "Store":
+        os.makedirs(path, exist_ok=True)
+        manifest = {
+            "magic": MAGIC,
+            "prefix_len": prefix_len,
+            "cipher": crypto.cipher_name(),
+            "quota_bytes": quota_bytes,
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        store = cls(spark, path, readonly=False, manifest=manifest)
+        # sentinel chunk ↔ reference's reserved page 0 (store/mod.rs:231-235);
+        # written directly (driver-side encrypt) — no distributed pipeline for
+        # one 158-byte row.
+        import hashlib
+
+        plain = SENTINEL + b"\0" * MAX_SIZE_RAW
+        key = crypto.convergent_key(plain)
+        cipher = crypto.encrypt(plain, key)
+        row = (
+            hashlib.sha256(cipher).hexdigest(),
+            len(plain),
+            crypto.cipher_name(),
+            bytearray(cipher),
+        )
+        spark.createDataFrame(
+            [row], "hash string, size long, enc string, data binary"
+        ).withColumn("hash_prefix", F.substring("hash", 1, prefix_len)).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("hash_prefix").parquet(os.path.join(path, "chunks"))
+        return store
+
+    @staticmethod
+    def sniff(path: str) -> bool:
+        """Magic sniff (A5, lake/util.rs:7-24): is this directory a store?"""
+        mf = os.path.join(path, "manifest.json")
+        if not os.path.exists(mf):
+            return False
+        try:
+            with open(mf) as f:
+                return json.load(f).get("magic") == MAGIC
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str, readonly: bool = False) -> "Store":
+        """Open + the corruption-check battery (A4, store/mod.rs:98-170 analog)."""
+        mf_path = os.path.join(path, "manifest.json")
+        if not os.path.isdir(path):
+            raise Corrupted(f"store path missing: {path}")
+        if not os.path.exists(mf_path):
+            raise Corrupted("missing manifest.json")
+        try:
+            with open(mf_path) as f:
+                manifest = json.load(f)
+        except json.JSONDecodeError as e:
+            raise Corrupted(f"manifest unparseable: {e}") from e
+        if manifest.get("magic") != MAGIC:
+            raise Corrupted(f"magic mismatch: {manifest.get('magic')!r}")
+        prefix_len = manifest.get("prefix_len")
+        if not isinstance(prefix_len, int) or not (1 <= prefix_len <= 8):
+            raise Corrupted(f"invalid prefix_len: {prefix_len!r}")
+        store = cls(spark, path, readonly=readonly, manifest=manifest)
+        chunks = store.chunks()
+        got = {f.name: f.dataType for f in chunks.schema.fields}
+        want = {f.name: f.dataType for f in CHUNKS_SCHEMA.fields}
+        # partition column surfaces as string either way; data columns must match
+        for name, dtype in want.items():
+            if name == "hash_prefix":
+                continue
+            if got.get(name) != dtype:
+                raise Corrupted(f"chunks schema mismatch on {name!r}: {got.get(name)}")
+        return store
+
+    # -- dataset accessors ---------------------------------------------------
+
+    def _read_or_empty(self, sub: str, schema: StructType) -> DataFrame:
+        p = os.path.join(self.path, sub)
+        try:
+            return self.spark.read.schema(schema).parquet(p)
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    def chunks(self) -> DataFrame:
+        return self._read_or_empty("chunks", CHUNKS_SCHEMA)
+
+    def manifests(self) -> DataFrame:
+        return self._read_or_empty("manifests", MANIFESTS_SCHEMA)
+
+    def stored_bytes(self) -> int:
+        row = self.chunks().agg(F.coalesce(F.sum("size"), F.lit(0)).alias("s")).head()
+        return int(row["s"])
+
+    # -- write path (A10–A14) ------------------------------------------------
+
+    def put_blobs(self, df: DataFrame, id_col: str = "id", data_col: str = "data") -> DataFrame:
+        """Distributed size-routed put. Returns (id, hkey) DataFrame.
+
+        Pipeline: route by size → encrypt (Arrow batches) / split+encrypt →
+        anti-join against existing hashes (the A7 probe) → partitioned append
+        (the A10 publish) → hkey assembly. Content addressing makes the whole
+        thing idempotent.
+        """
+        if self.readonly:
+            raise StoreReadOnly(self.path)
+        src = df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(data_col).alias("data")
+        ).withColumn("_sz", F.length("data").cast("long"))
+        src.persist()
+        try:
+            return self._put_blobs_inner(src)
+        finally:
+            src.unpersist()
+
+    def _put_blobs_inner(self, src: DataFrame) -> DataFrame:
+        # one cheap pass over sizes decides which tiers exist → absent tiers
+        # cost zero jobs (important: most workloads are single-tier)
+        tier_counts = src.agg(
+            F.sum((F.col("_sz") <= MAX_SIZE_RAW).cast("long")).alias("n_raw"),
+            F.sum(
+                ((F.col("_sz") > MAX_SIZE_RAW) & (F.col("_sz") <= MAX_DECRYPTED_SIZE)).cast(
+                    "long"
+                )
+            ).alias("n_mid"),
+            F.sum((F.col("_sz") > MAX_DECRYPTED_SIZE).cast("long")).alias("n_big"),
+            F.coalesce(F.sum("_sz"), F.lit(0)).alias("total"),
+        ).head()
+        n_raw, n_mid, n_big = (
+            int(tier_counts["n_raw"] or 0),
+            int(tier_counts["n_mid"] or 0),
+            int(tier_counts["n_big"] or 0),
+        )
+
+        if self.quota_bytes is not None:
+            if self.stored_bytes() + int(tier_counts["total"]) > self.quota_bytes:
+                raise StoreOutOfSpace(f"{self.path}: quota {self.quota_bytes}")
+
+        hkey_parts: list[DataFrame] = []
+
+        # raw tier: inline base64url hkey, nothing stored (A11/A14 fast path)
+        if n_raw:
+            hkey_parts.append(
+                src.where(F.col("_sz") <= MAX_SIZE_RAW).select(
+                    "id",
+                    F.concat(
+                        F.lit("raw:"), F.translate(F.base64("data"), "+/", "-_")
+                    ).alias("hkey"),
+                )
+            )
+
+        # single-chunk tier: convergent encrypt + store
+        mid_enc = None
+        if n_mid:
+            mid = src.where(
+                (F.col("_sz") > MAX_SIZE_RAW) & (F.col("_sz") <= MAX_DECRYPTED_SIZE)
+            )
+            mid_enc = (
+                mid.select("id", "data")
+                .mapInPandas(_encrypt_batches, _ENC_RESULT_SCHEMA)
+                .persist()
+            )
+
+        # tree tier: split into chunks, encrypt each child
+        children = None
+        if n_big:
+            big = src.where(F.col("_sz") > MAX_DECRYPTED_SIZE)
+            pieces = big.select("id", "data").mapInPandas(
+                _split_batches, "id long, root_hash string, root_size long, seq int, data binary"
+            )
+            pieces_enc = (
+                pieces.withColumnRenamed("id", "blob_id")
+                .withColumn("id", F.monotonically_increasing_id())
+                .select("blob_id", "root_hash", "root_size", "seq", "id", "data")
+            )
+            child_enc = pieces_enc.select("id", "data").mapInPandas(
+                _encrypt_batches, _ENC_RESULT_SCHEMA
+            )
+            children = pieces_enc.drop("data").join(child_enc, "id").drop("id").persist()
+
+        # everything that lands in chunks/
+        store_parts = []
+        if mid_enc is not None:
+            store_parts.append(mid_enc.select("hash", "size", "enc", "data"))
+        if children is not None:
+            store_parts.append(children.select("hash", "size", "enc", "data"))
+        if store_parts:
+            to_store = store_parts[0]
+            for p in store_parts[1:]:
+                to_store = to_store.unionByName(p)
+            self._append_chunks(to_store)
+
+        # manifests for the tree tier (A13)
+        if children is not None:
+            self._append_manifests(
+                children.select(
+                    "root_hash",
+                    F.col("seq").cast("int").alias("seq"),
+                    F.col("hash").alias("child_hash"),
+                    F.col("key").alias("child_key"),
+                    F.col("enc").alias("child_enc"),
+                    F.col("size").alias("length"),
+                )
+            )
+
+        if mid_enc is not None:
+            hkey_parts.append(
+                mid_enc.select(
+                    "id",
+                    F.when(
+                        F.col("kind") == "enc",
+                        F.concat_ws(
+                            ":",
+                            F.lit("enc"),
+                            F.col("hash"),
+                            F.col("key"),
+                            F.col("size").cast("string"),
+                        ),
+                    )
+                    .otherwise(
+                        F.concat_ws(
+                            ":", F.lit("plain"), F.col("hash"), F.col("size").cast("string")
+                        )
+                    )
+                    .alias("hkey"),
+                )
+            )
+        if children is not None:
+            hkey_parts.append(
+                children.groupBy("blob_id", "root_hash", "root_size")
+                .agg(F.count("*"))
+                .select(
+                    F.col("blob_id").alias("id"),
+                    F.concat_ws(
+                        ":", F.lit("tree"), F.col("root_hash"), F.col("root_size").cast("string")
+                    ).alias("hkey"),
+                )
+            )
+
+        if not hkey_parts:
+            result = self.spark.createDataFrame([], "id long, hkey string")
+        else:
+            result = hkey_parts[0]
+            for p in hkey_parts[1:]:
+                result = result.unionByName(p)
+            # cut lineage: callers' actions must not re-run encryption/writes
+            result = result.localCheckpoint(eager=True)
+        if mid_enc is not None:
+            mid_enc.unpersist()
+        if children is not None:
+            children.unpersist()
+        return result
+
+    def _append_chunks(self, rows: DataFrame) -> None:
+        """Dedup anti-join (A7 probe / A10 short-circuit) then partitioned append."""
+        staged = (
+            rows.dropDuplicates(["hash"])
+            .join(self.chunks().select("hash"), "hash", "left_anti")
+            .withColumn("hash_prefix", F.substring("hash", 1, self.prefix_len))
+        )
+        # repartition on the partition column: exactly one file per prefix per
+        # append (at scale: avoids the tasks×partitions small-file explosion)
+        staged.repartition("hash_prefix").write.mode("append").partitionBy(
+            "hash_prefix"
+        ).parquet(os.path.join(self.path, "chunks"))
+
+    def _append_manifests(self, rows: DataFrame) -> None:
+        staged = rows.join(
+            self.manifests().select("root_hash").distinct(), "root_hash", "left_anti"
+        )
+        staged.write.mode("append").parquet(os.path.join(self.path, "manifests"))
+
+    def put_blob(self, data: bytes) -> str:
+        """Single-blob convenience over the distributed path (A14)."""
+        out = self.put_blobs(
+            self.spark.createDataFrame([(0, bytearray(data))], "id long, data binary")
+        )
+        return out.head()["hkey"]
+
+    # -- read path (A7/A8/A15 analog) ---------------------------------------
+
+    def _chunk_row(self, hash_hex: str):
+        rows = (
+            self.chunks()
+            .where(
+                (F.col("hash_prefix") == hash_hex[: self.prefix_len])
+                & (F.col("hash") == hash_hex)
+            )
+            .head(1)
+        )
+        if not rows:
+            raise NotFound(hash_hex)
+        return rows[0]
+
+    def get(self, hkey_str: str) -> bytes:
+        """Reconstruct a blob from its hkey (point lookup, partition-pruned)."""
+        hk = Hkey.decode(hkey_str)
+        if hk.kind == "raw":
+            return hk.inline or b""
+        if hk.kind == "plain":
+            return bytes(self._chunk_row(hk.hash)["data"])
+        if hk.kind == "enc":
+            row = self._chunk_row(hk.hash)
+            return crypto.decrypt(bytes(row["data"]), bytes.fromhex(hk.key))
+        # tree: manifest rows → children → decrypt → ordered concat (A13 read)
+        kids = (
+            self.manifests()
+            .where(F.col("root_hash") == hk.hash)
+            .orderBy("seq")
+            .collect()
+        )
+        if not kids:
+            raise NotFound(hk.hash)
+        parts = []
+        hashes = [k["child_hash"] for k in kids]
+        rows = {
+            r["hash"]: r
+            for r in self.chunks()
+            .where(F.col("hash_prefix").isin({h[: self.prefix_len] for h in hashes})
+                   & F.col("hash").isin(hashes))
+            .collect()
+        }
+        for k in kids:
+            r = rows.get(k["child_hash"])
+            if r is None:
+                raise NotFound(k["child_hash"])
+            data = bytes(r["data"])
+            if k["child_enc"] != "plain":
+                data = crypto.decrypt(data, bytes.fromhex(k["child_key"]))
+            parts.append(data)
+        blob = b"".join(parts)
+        if len(blob) != hk.size:
+            raise Corrupted(f"tree length mismatch for {hk.hash}: {len(blob)} != {hk.size}")
+        return blob
+
+    def has(self, hash_hex: str) -> bool:
+        try:
+            self._chunk_row(hash_hex)
+            return True
+        except NotFound:
+            return False

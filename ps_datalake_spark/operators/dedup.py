@@ -25,12 +25,16 @@ def tokenize(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side, no UDF)."""
+    """Distinct word n-gram shingles of a text column (JVM-side, no UDF).
+
+    Guarded for short docs: Spark's sequence(1, 0) is *descending*, so the
+    index range must be gated on size ≥ n.
+    """
     toks = tokenize(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -91,12 +95,45 @@ def minhash_signatures(
     Hash function i is xxhash64(i, shingle); the signature is the K column
     mins — one aggregation pass over the exploded shingles.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    )
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
-    agg = sh.groupBy("doc").agg(*mins)
-    return agg.select("doc", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+    # blake2b per distinct shingle, then K affine permutations
+    # h_i = (a_i*h + b_i) mod 2^31-1 — the classic universal-hashing MinHash
+    # construction, fully vectorized in numpy over Arrow batches. Shuffle-free
+    # and embarrassingly parallel (the shape a 100 TB corpus needs). An
+    # Arrow-batched UDF beats the pure-expression alternatives here: Spark
+    # higher-order-function lambdas execute interpreted (~10× slower), and a
+    # 64-aggregate groupBy adds a pointless shuffle.
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    P = (1 << 31) - 1
+    rnd = __import__("random").Random(42)
+    A = np.array([rnd.randrange(1, P) for _ in range(k)], dtype=np.int64)[:, None]
+    B = np.array([rnd.randrange(0, P) for _ in range(k)], dtype=np.int64)[:, None]
+
+    def _sign(batches):
+        for pdf in batches:
+            out_doc, out_sig = [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                toks = text.lower().split()
+                if len(toks) < n:
+                    continue
+                grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                h = np.frombuffer(
+                    b"".join(
+                        hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest()
+                        for g in sorted(grams)
+                    ),
+                    dtype=">i8",
+                ) % P
+                sig = ((A * h[None, :] + B) % P).min(axis=1)
+                out_doc.append(doc)
+                out_sig.append(sig.tolist())
+            yield pd.DataFrame({"doc": pd.Series(out_doc, dtype="int64"), "sig": out_sig})
+
+    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    return src.mapInPandas(_sign, "doc long, sig array<long>")
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
@@ -151,7 +188,9 @@ def minhash_neardup_pairs(
 
     est_jaccard = fraction of the K signature components that agree.
     """
-    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n)
+    # persist: the signature aggregation feeds the band join AND both sides
+    # of the verification join — without it the shingle pass runs 3×
+    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n).persist()
     cands = lsh_candidate_pairs(sigs, bands=bands)
     sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))

@@ -1,1 +1,185 @@
-"""Placeholder — populated in a later milestone."""
+"""Lake-core queries: SURVEY.md §2B B38 — the reference's own operations
+(content-addressed put/dedup/federation, §2A A10–A17) exercised end-to-end
+through the Spark store and checked against a DuckDB oracle that recomputes
+the expected content-addressing arithmetic from the documents table.
+
+Each call builds fresh scratch stores so repeated driver runs are
+deterministic. The sentinel chunk written at store create (reference page-0
+analog) is accounted for explicitly (+1 in the oracles).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake import Lake, Store
+from ..registry import query
+from ._util import T, scratch_dir
+
+_RAW_MAX = 128  # keep in sync with lake.store.MAX_SIZE_RAW
+
+
+def _fresh_store(spark: SparkSession, name: str) -> Store:
+    path = scratch_dir(name)
+    shutil.rmtree(path, ignore_errors=True)
+    return Store.create(spark, path, prefix_len=1)
+
+
+def _doc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("data")
+    )
+
+
+@query(
+    "b38_put_dedup",
+    oracle=f"""
+    SELECT count(*) AS n_blobs,
+           CAST(sum(CASE WHEN octet_length(encode(text)) <= {_RAW_MAX} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT CASE WHEN octet_length(encode(text)) > {_RAW_MAX}
+                THEN sha256(text) END) + 1 AS BIGINT) AS n_chunk_rows
+    FROM documents
+    """,
+    tags=("B38", "lake"),
+    doc="Content-addressed put with size routing + dedup: documents stored "
+    "TWICE; chunk rows must equal distinct stored contents (+1 sentinel) — "
+    "put idempotence (reference store/mod.rs:321-326).",
+)
+def b38_put_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _fresh_store(spark, "q_store_dedup")
+    blobs = _doc_blobs(spark, sf_dir)
+    first = store.put_blobs(blobs)
+    n_blobs = first.count()
+    store.put_blobs(blobs).count()  # idempotent second put
+    n_raw = first.where(F.col("hkey").startswith("raw:")).count()
+    n_chunk_rows = store.chunks().count()
+    return spark.createDataFrame(
+        [(n_blobs, n_raw, n_chunk_rows)], "n_blobs bigint, n_raw bigint, n_chunk_rows bigint"
+    )
+
+
+@query(
+    "b38_content_addressing",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT CASE WHEN octet_length(encode(text)) > {_RAW_MAX}
+                THEN sha256(text) END) + 1 AS BIGINT) AS n_chunks,
+           0 AS hash_violations
+    FROM documents
+    """,
+    tags=("B38", "lake"),
+    doc="Stored-hash verification: every chunk's address must equal "
+    "sha256 of its stored bytes (reference store/mod.rs:412-414 verify step).",
+)
+def b38_content_addressing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _fresh_store(spark, "q_store_addr")
+    store.put_blobs(_doc_blobs(spark, sf_dir)).count()
+    chunks = store.chunks()
+    return chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(
+            F.when(F.sha2(F.col("data"), 256) != F.col("hash"), 1).otherwise(0)
+        ).cast("int").alias("hash_violations"),
+    )
+
+
+@query(
+    "b38_federation",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, sha256(text) AS h, octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT CAST((SELECT count(DISTINCT h) FROM d WHERE n > {_RAW_MAX} AND doc_id < 250) + 1
+                AS BIGINT) AS from_primary,
+           CAST((SELECT count(DISTINCT h) FROM d WHERE n > {_RAW_MAX} AND doc_id >= 250
+                 AND h NOT IN (SELECT h FROM d WHERE n > {_RAW_MAX} AND doc_id < 250))
+                AS BIGINT) AS from_secondary
+    FROM (SELECT 1)
+    """,
+    tags=("B38", "lake"),
+    doc="Federated read with priority: first 250 docs live in the primary "
+    "store, ALL docs in the secondary; the federated chunk table must serve "
+    "every duplicate hash from the primary (reference lake/mod.rs:54-68).",
+)
+def b38_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sa = _fresh_store(spark, "q_fed_a")
+    sb = _fresh_store(spark, "q_fed_b")
+    blobs = _doc_blobs(spark, sf_dir)
+    sa.put_blobs(blobs.where(F.col("id") < 250)).count()
+    sb.put_blobs(blobs).count()
+    lake = Lake(spark, readable=[sa, sb], writable=[sa, sb])
+    fed = lake.chunks()
+    return fed.agg(
+        F.sum(F.when(F.col("store_priority") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("from_primary"),
+        F.sum(F.when(F.col("store_priority") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("from_secondary"),
+    )
+
+
+@query(
+    "b38_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_blobs, 0 AS n_mismatch FROM documents
+    """,
+    tags=("B38", "lake"),
+    doc="put → get round-trip integrity for every document blob, verified "
+    "distributedly: decrypt stored chunks and compare against the original "
+    "plaintext hash (raw hkeys decoded inline).",
+)
+def b38_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..lake import crypto
+
+    store = _fresh_store(spark, "q_store_rt")
+    blobs = _doc_blobs(spark, sf_dir)
+    hkeys = store.put_blobs(blobs)
+
+    # distributed verification: reconstruct plaintext per hkey, compare sha256
+    orig = blobs.select("id", F.sha2("data", 256).alias("want_sha"))
+    parts = F.split(F.col("hkey"), ":")
+    parsed = hkeys.select(
+        "id",
+        parts.getItem(0).alias("kind"),
+        parts.getItem(1).alias("href"),
+        "hkey",
+    )
+    raw = parsed.where(F.col("kind") == "raw").select(
+        "id", F.sha2(F.unbase64(F.translate(F.col("href"), "-_", "+/")), 256).alias("got_sha")
+    )
+    enc = (
+        parsed.where(F.col("kind") == "enc")
+        .select("id", F.col("href").alias("hash"), F.split("hkey", ":").getItem(2).alias("key"))
+        .join(store.chunks().select("hash", "data"), "hash")
+    )
+
+    def _decrypt(batches):
+        import hashlib
+
+        for pdf in batches:
+            got = [
+                hashlib.sha256(
+                    crypto.decrypt(bytes(d), bytes.fromhex(k))
+                ).hexdigest()
+                for d, k in zip(pdf["data"], pdf["key"])
+            ]
+            yield pd.DataFrame({"id": pdf["id"], "got_sha": got})
+
+    enc_got = enc.select("id", "key", "data").mapInPandas(_decrypt, "id long, got_sha string")
+    got = raw.unionByName(enc_got)
+    j = orig.join(got, "id", "left")
+    return j.agg(
+        F.count("*").alias("n_blobs"),
+        F.sum(
+            F.when(
+                F.col("got_sha").isNull() | (F.col("got_sha") != F.col("want_sha")), 1
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_mismatch"),
+    )

@@ -39,6 +39,41 @@ RUNTIME_CONFS = {
 }
 
 
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ps_datalake_spark importable inside Python workers.
+
+    UDF/mapInPandas closures reference this package by module name; workers
+    spawned by an externally built session (driver cwd ≠ repo root) cannot
+    import it otherwise. addPyFile distributes a zip of the package and puts
+    it on every worker's sys.path.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"ps_datalake_spark_{os.path.basename(pkg_dir)}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(app_id)
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent)."""
     for k, v in RUNTIME_CONFS.items():
@@ -46,6 +81,10 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — loader falls back
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # already added or restricted context — worker imports may still work
     return spark
 
 

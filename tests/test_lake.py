@@ -1,0 +1,177 @@
+"""Lake-core property tests (SURVEY.md §5.2-1): round-trips across every size
+routing threshold, put idempotence/dedup, federation precedence + waterfall,
+readonly/corruption handling, hkey codec bijectivity, config round-trip,
+convergent-encryption determinism."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ps_datalake_spark.config import LakeConfig, StoreEntry
+from ps_datalake_spark.errors import Corrupted, NotFound, OutOfStores, StoreReadOnly
+from ps_datalake_spark.lake import Hkey, Lake, Store
+from ps_datalake_spark.lake import crypto
+from ps_datalake_spark.lake.store import MAX_DECRYPTED_SIZE, MAX_SIZE_RAW
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return Store.create(spark, str(tmp_path / "store1"), prefix_len=1)
+
+
+SIZES = [
+    0,
+    1,
+    MAX_SIZE_RAW - 1,
+    MAX_SIZE_RAW,
+    MAX_SIZE_RAW + 1,
+    4096,
+    MAX_DECRYPTED_SIZE - 1,
+    MAX_DECRYPTED_SIZE,
+    MAX_DECRYPTED_SIZE + 1,
+    int(MAX_DECRYPTED_SIZE * 2.5),
+]
+
+
+def _blob(n: int) -> bytes:
+    # deterministic, non-repeating-ish content
+    return bytes((i * 131 + i // 251) % 256 for i in range(n))
+
+
+def test_roundtrip_every_threshold(store):
+    blobs = {n: _blob(n) for n in SIZES}
+    hkeys = {n: store.put_blob(b) for n, b in blobs.items()}
+    for n, b in blobs.items():
+        assert store.get(hkeys[n]) == b, f"round-trip failed at size {n}"
+    # routing kinds
+    assert hkeys[MAX_SIZE_RAW].startswith("raw:")
+    assert hkeys[MAX_SIZE_RAW + 1].split(":")[0] in ("enc", "plain")
+    assert hkeys[MAX_DECRYPTED_SIZE + 1].startswith("tree:")
+
+
+def test_put_idempotent_dedup(store, spark):
+    data = _blob(5000)
+    hk1 = store.put_blob(data)
+    n_chunks = store.chunks().count()
+    hk2 = store.put_blob(data)
+    assert hk1 == hk2, "convergent encryption must make puts deterministic"
+    assert store.chunks().count() == n_chunks, "second put must not add chunks"
+
+
+def test_distributed_put_blobs(store, spark):
+    df = spark.createDataFrame(
+        [(i, bytearray(_blob(200 + i))) for i in range(20)], "id long, data binary"
+    )
+    out = {r["id"]: r["hkey"] for r in store.put_blobs(df).collect()}
+    assert len(out) == 20
+    for i in range(20):
+        assert store.get(out[i]) == _blob(200 + i)
+
+
+def test_readonly_store_rejects_writes(spark, tmp_path):
+    path = str(tmp_path / "ro")
+    Store.create(spark, path, prefix_len=1)
+    ro = Store.open(spark, path, readonly=True)
+    with pytest.raises(StoreReadOnly):
+        ro.put_blob(b"x" * 500)
+
+
+def test_corrupted_manifest(spark, tmp_path):
+    path = str(tmp_path / "bad")
+    Store.create(spark, path, prefix_len=1)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump({"magic": "not-a-datalake"}, f)
+    with pytest.raises(Corrupted):
+        Store.open(spark, path)
+    with pytest.raises(Corrupted):
+        Store.open(spark, str(tmp_path / "never-created"))
+
+
+def test_get_missing_hash_raises(store):
+    with pytest.raises(NotFound):
+        store.get("enc:" + "0" * 64 + ":" + "0" * 64 + ":10")
+
+
+def test_federation_waterfall_and_precedence(spark, tmp_path):
+    cfg = LakeConfig(
+        stores=(
+            StoreEntry(filename=str(tmp_path / "s1")),
+            StoreEntry(filename=str(tmp_path / "s2")),
+        )
+    )
+    lake = Lake.open(spark, cfg, prefix_len=1)
+    # writes land in the first writable store
+    hk = lake.put_blob(_blob(600))
+    assert lake.get(hk) == _blob(600)
+    assert lake.writable[0].has(Hkey.decode(hk).hash)
+    assert not lake.writable[1].has(Hkey.decode(hk).hash)
+    # blob only in the second store is still found (waterfall)
+    hk2 = lake.writable[1].put_blob(_blob(700))
+    assert lake.get(hk2) == _blob(700)
+    # readonly-first config: writes skip to the writable store
+    cfg2 = LakeConfig(
+        stores=(
+            StoreEntry(filename=str(tmp_path / "s1"), readonly=True),
+            StoreEntry(filename=str(tmp_path / "s2")),
+        )
+    )
+    lake2 = Lake.open(spark, cfg2, prefix_len=1)
+    hk3 = lake2.put_blob(_blob(800))
+    assert lake2.writable[0].path.endswith("s2")
+    assert lake2.get(hk3) == _blob(800)
+    # all-readonly lake: OutOfStores
+    cfg3 = LakeConfig(stores=(StoreEntry(filename=str(tmp_path / "s1"), readonly=True),))
+    lake3 = Lake.open(spark, cfg3, prefix_len=1)
+    with pytest.raises(OutOfStores):
+        lake3.put_blob(b"z" * 500)
+
+
+def test_federated_chunks_first_match(spark, tmp_path):
+    cfg = LakeConfig(
+        stores=(
+            StoreEntry(filename=str(tmp_path / "fa")),
+            StoreEntry(filename=str(tmp_path / "fb")),
+        )
+    )
+    lake = Lake.open(spark, cfg, prefix_len=1)
+    data = _blob(900)
+    lake.writable[0].put_blob(data)
+    lake.writable[1].put_blob(data)  # same content in both stores
+    fed = lake.chunks()
+    dup_hash = Hkey.decode(lake.writable[0].put_blob(data)).hash
+    rows = fed.where(fed.hash == dup_hash).collect()
+    assert len(rows) == 1 and rows[0]["store_priority"] == 0
+
+
+def test_hkey_codec_bijective():
+    cases = [
+        Hkey(kind="raw", inline=b"\x00\xffhello", size=0),
+        Hkey(kind="plain", hash="ab" * 32, size=12345),
+        Hkey(kind="enc", hash="cd" * 32, key="ef" * 32, size=999),
+        Hkey(kind="tree", hash="12" * 32, size=10_000_000),
+    ]
+    for hk in cases:
+        assert Hkey.decode(hk.encode()) == hk
+
+
+def test_config_roundtrip():
+    cfg = LakeConfig(
+        stores=(StoreEntry("/a/b", readonly=True), StoreEntry("/c/d", readonly=False))
+    )
+    assert LakeConfig.from_toml_str(cfg.to_toml_string()) == cfg
+
+
+def test_convergent_encryption_properties():
+    p = _blob(10_000)
+    k = crypto.convergent_key(p)
+    c1 = crypto.encrypt(p, k)
+    c2 = crypto.encrypt(p, k)
+    assert c1 == c2, "encryption must be deterministic (dedup depends on it)"
+    assert crypto.decrypt(c1, k) == p
+    assert c1 != p
+    # different plaintext → different key → different ciphertext
+    p2 = _blob(10_001)
+    assert crypto.encrypt(p2, crypto.convergent_key(p2)) != c1
