@@ -100,3 +100,32 @@ class Lake:
                 last_err = e
                 continue
         raise OutOfStores(str(last_err) if last_err else "no writable stores")
+
+    # -- catalog surface (SURVEY.md §3.4: lake.sql / lake.table) -------------
+
+    def attach(self, name: str, df: DataFrame) -> None:
+        """Register a DataFrame as a queryable lake table (temp view)."""
+        df.createOrReplaceTempView(name)
+
+    def attach_dir(self, sf_dir: str, tables: tuple[str, ...] | None = None) -> None:
+        """Register parquet tables from a directory (the driver's testdata shape)."""
+        from ..io import TABLES, register_views
+
+        register_views(self.spark, sf_dir, tables or TABLES)
+
+    def attach_internal(self) -> None:
+        """Expose the lake's own metadata as tables: `lake_chunks` (federated,
+        first-match per hash) and `lake_manifests`."""
+        self.attach("lake_chunks", self.chunks().drop("data"))
+        parts = [s.manifests() for s in self.readable]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        self.attach("lake_manifests", u.dropDuplicates(["root_hash", "seq"]))
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def sql(self, text: str) -> DataFrame:
+        """SQL entry point: full Catalyst lifecycle over attached tables."""
+        return self.spark.sql(text)

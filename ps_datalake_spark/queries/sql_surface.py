@@ -1,0 +1,66 @@
+"""SQL-text entry point (SURVEY.md §3.4 lifecycle: lake.sql(...) → Catalyst).
+
+These queries register the test tables as temp views and execute raw SQL via
+spark.sql — the same string DuckDB runs as the oracle (dialect-neutral SQL,
+with rounding done as round(x*10^n)/10^n which is identical in both engines).
+Covers CTEs, EXISTS/IN subqueries, correlated scalar subqueries, and
+HAVING — SQL shapes not otherwise exercised by the DataFrame surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import register_views
+from ..registry import query
+
+_CTE_SQL = """
+    WITH cust_rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev, count(*) AS cnt
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_cust,
+           round(avg(rev) * 10000) / 10000 AS avg_rev,
+           CAST(sum(cnt) AS BIGINT) AS n_orders
+    FROM customer
+    JOIN cust_rev ON o_custkey = c_custkey
+    WHERE EXISTS (SELECT 1 FROM nation
+                  WHERE n_nationkey = c_nationkey AND n_regionkey < 3)
+    GROUP BY c_mktsegment
+    HAVING count(*) > 10
+    ORDER BY c_mktsegment
+    """
+
+_CORRELATED_SQL = """
+    SELECT o_orderkey,
+           round(o_totalprice * 100) / 100 AS price,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items,
+           CASE WHEN o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+                THEN 'debtor' ELSE 'ok' END AS cust_standing
+    FROM orders
+    WHERE o_totalprice > 300000
+    ORDER BY o_orderkey
+    """
+
+
+@query(
+    "b40_sql_cte",
+    oracle=_CTE_SQL,
+    tags=("B1", "sql"),
+    doc="Raw-SQL entry: CTE + EXISTS subquery + HAVING, identical text on both engines.",
+)
+def b40_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(_CTE_SQL)
+
+
+@query(
+    "b40_sql_correlated",
+    oracle=_CORRELATED_SQL,
+    tags=("B1", "sql"),
+    doc="Raw-SQL entry: correlated scalar subquery + IN subquery.",
+)
+def b40_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "lineitem", "customer"))
+    return spark.sql(_CORRELATED_SQL)

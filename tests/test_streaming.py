@@ -1,0 +1,141 @@
+"""Structured Streaming golden tests (SURVEY.md §5.2-4): multi-batch file
+streams, watermark late-data semantics, and the custom stateful operator."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ps_datalake_spark.streaming.stateful import running_user_stats
+
+
+def _write_batch(spark, path, rows):
+    from datetime import datetime
+
+    rows = [
+        (eid, datetime.fromisoformat(ts), uid, val) for eid, ts, uid, val in rows
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    return str(tmp_path / "stream_src")
+
+
+def _start(spark, stream_dir, build, out_name, mode, checkpoint=None):
+    """One availableNow run. Passing the same `checkpoint` across runs makes
+    batch boundaries (and the persisted watermark) deterministic."""
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    w = build(src).writeStream.format("memory").queryName(out_name).outputMode(mode)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(out_name)
+
+
+def test_watermark_drops_late_rows(spark, stream_dir, tmp_path):
+    """Append-mode windowed agg: a row arriving behind the watermark is dropped.
+
+    Two availableNow runs share a checkpoint, so run 2 resumes with the
+    watermark persisted after run 1 (12:00 − 10 min = 11:50)."""
+    cp = str(tmp_path / "cp_late")
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            .select(F.col("w.start").alias("ws"), "cnt", "sv")
+        )
+
+    out_dir = str(tmp_path / "late_out")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(stream_dir)
+        q = (
+            build(src)
+            .writeStream.format("parquet")  # file sink: supports checkpoint recovery
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: events up to 12:00 → checkpointed watermark 11:50
+    _write_batch(
+        spark,
+        stream_dir,
+        [
+            (1, "2024-01-01 11:00:00", 1, 1.0),
+            (2, "2024-01-01 11:04:00", 1, 2.0),
+            (3, "2024-01-01 12:00:00", 2, 3.0),
+        ],
+    )
+    run_once()
+    # run 2: one on-time row (12:05) and one LATE row (11:01, behind 11:50)
+    _write_batch(
+        spark,
+        stream_dir,
+        [
+            (4, "2024-01-01 12:05:00", 1, 10.0),
+            (5, "2024-01-01 11:01:00", 1, 99.0),  # late → must be dropped
+        ],
+    )
+    run_once()
+
+    out = spark.read.parquet(out_dir)
+    emitted = {r["ws"].isoformat(): (r["cnt"], r["sv"]) for r in out.collect()}
+    # the 11:00 window must contain ONLY the two on-time rows (1.0 + 2.0),
+    # never the late 99.0 — whether it was flushed in run 1 or run 2
+    assert emitted.get("2024-01-01T11:00:00") == (2, 3.0), (rows1, rows2)
+    # windows still open at end-of-stream (12:05) are unemitted in append mode
+    assert "2024-01-01T12:05:00" not in emitted
+
+
+def test_streaming_dedup_across_batches(spark, stream_dir):
+    _write_batch(spark, stream_dir, [(1, "2024-01-01 10:00:00", 1, 1.0)])
+    _write_batch(
+        spark,
+        stream_dir,
+        [
+            (1, "2024-01-01 10:00:00", 1, 1.0),  # duplicate id from batch 1
+            (2, "2024-01-01 10:01:00", 1, 2.0),
+        ],
+    )
+
+    def build(src):
+        return src.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+    out = _start(spark, stream_dir, build, "dedup_test", "append")
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+
+def test_apply_in_pandas_with_state(spark, stream_dir):
+    _write_batch(
+        spark,
+        stream_dir,
+        [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 10:01:00", 1, 2.0)],
+    )
+    _write_batch(
+        spark,
+        stream_dir,
+        [(3, "2024-01-01 10:02:00", 1, 4.0), (4, "2024-01-01 10:03:00", 2, 8.0)],
+    )
+    out = _start(spark, stream_dir, running_user_stats, "state_test", "update")
+    # last emission per user reflects accumulated state across microbatches
+    rows = out.orderBy("batches").collect()
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (3, 7.0), rows  # 1+2 in batch1, +4 in batch2
+    assert final[2] == (1, 8.0), rows
