@@ -486,3 +486,163 @@ class Store:
             return True
         except NotFound:
             return False
+
+    def get_blobs(self, hkeys: DataFrame, id_col: str = "id", hkey_col: str = "hkey") -> DataFrame:
+        """Distributed batch get: (id, hkey) → (id, data).
+
+        raw hkeys decode inline (JVM-side unbase64); plain/enc join the chunk
+        table on hash (partition-pruned by the join's hash keys at scale) and
+        decrypt in Arrow batches; tree hkeys join manifests → children →
+        ordered binary concat. Missing hashes surface as NULL data (batch
+        semantics — the point-read path raises NotFound instead).
+        """
+        src = hkeys.select(F.col(id_col).alias("id"), F.col(hkey_col).alias("hkey"))
+        parts = F.split(F.col("hkey"), ":")
+        parsed = src.select(
+            "id", parts.getItem(0).alias("kind"), parts.alias("p"), "hkey"
+        )
+
+        out_parts: list[DataFrame] = []
+        raw = parsed.where(F.col("kind") == "raw").select(
+            "id", F.unbase64(F.translate(F.col("p").getItem(1), "-_", "+/")).alias("data")
+        )
+        out_parts.append(raw)
+
+        chunk_data = self.chunks().select(
+            F.col("hash"), F.col("enc"), F.col("data").alias("stored")
+        )
+
+        def _decrypt_batch(batches):
+            for pdf in batches:
+                datas = []
+                for stored, enc, key in zip(pdf["stored"], pdf["enc"], pdf["key"]):
+                    if stored is None:
+                        datas.append(None)
+                    elif enc == "plain" or key is None:
+                        datas.append(bytes(stored))
+                    else:
+                        datas.append(crypto.decrypt(bytes(stored), bytes.fromhex(key)))
+                yield pd.DataFrame({"id": pdf["id"], "data": datas})
+
+        single = (
+            parsed.where(F.col("kind").isin("plain", "enc"))
+            .select(
+                "id",
+                F.col("p").getItem(1).alias("hash"),
+                F.when(F.col("kind") == "enc", F.col("p").getItem(2)).alias("key"),
+            )
+            .join(chunk_data, "hash", "left")
+            .select("id", "stored", "enc", "key")
+        )
+        out_parts.append(single.mapInPandas(_decrypt_batch, "id long, data binary"))
+
+        trees = parsed.where(F.col("kind") == "tree").select(
+            "id", F.col("p").getItem(1).alias("root_hash")
+        )
+        kids = (
+            trees.join(self.manifests(), "root_hash")
+            .join(
+                chunk_data.withColumnRenamed("hash", "child_hash"),
+                "child_hash",
+                "left",
+            )
+            .select(
+                "id",
+                "seq",
+                "stored",
+                F.col("child_enc").alias("enc"),
+                F.col("child_key").alias("key"),
+            )
+        )
+        kid_plain = kids.mapInPandas(
+            lambda batches: (
+                pdf.assign(
+                    data=[
+                        None
+                        if stored is None
+                        else (
+                            bytes(stored)
+                            if enc == "plain" or key is None
+                            else crypto.decrypt(bytes(stored), bytes.fromhex(key))
+                        )
+                        for stored, enc, key in zip(pdf["stored"], pdf["enc"], pdf["key"])
+                    ]
+                )[["id", "seq", "data"]]
+                for pdf in batches
+            ),
+            "id long, seq int, data binary",
+        )
+        assembled = (
+            kid_plain.groupBy("id")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seq", "data"))),
+                        lambda s: s.getField("data"),
+                    ),
+                    F.lit(b""),
+                    lambda acc, x: F.concat(acc, x),
+                ).alias("data")
+            )
+        )
+        out_parts.append(assembled)
+
+        result = out_parts[0]
+        for p in out_parts[1:]:
+            result = result.unionByName(p)
+        return result
+
+    # -- maintenance (the file ops a 100 TB lake needs) ----------------------
+
+    def compact(self, target_file_bytes: int = 128 << 20) -> int:
+        """Rewrite the chunk dataset with size-targeted files per partition.
+
+        Appends accumulate one file per partition per batch; compaction
+        rewrites each hash_prefix partition into ceil(bytes/target) files.
+        Returns the number of files after compaction. Single-writer op (the
+        router guarantees one writer per store)."""
+        import glob
+        import shutil as _sh
+
+        chunks_path = os.path.join(self.path, "chunks")
+        if self.readonly:
+            raise StoreReadOnly(self.path)
+        if not os.path.isdir(chunks_path):
+            return 0
+        df = self.chunks()
+        total = df.agg(F.coalesce(F.sum("size"), F.lit(0))).head()[0] or 0
+        n_files = max(1, int(total // target_file_bytes) + 1)
+        tmp = chunks_path + ".compact"
+        (
+            df.repartition(n_files, "hash_prefix")
+            .write.mode("overwrite")
+            .partitionBy("hash_prefix")
+            .parquet(tmp)
+        )
+        _sh.rmtree(chunks_path)
+        os.replace(tmp, chunks_path)
+        return len(glob.glob(os.path.join(chunks_path, "*", "*.parquet")))
+
+    def stats(self) -> dict:
+        """Store-level statistics (manifest-header analog of the reference's
+        free_chunk/index accounting)."""
+        row = (
+            self.chunks()
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.coalesce(F.sum("size"), F.lit(0)).alias("plain_bytes"),
+                F.coalesce(F.sum(F.length("data")), F.lit(0)).alias("stored_bytes"),
+                F.countDistinct("hash_prefix").alias("n_partitions"),
+            )
+            .head()
+        )
+        n_roots = self.manifests().select("root_hash").distinct().count()
+        return {
+            "n_chunks": int(row["n_chunks"]),
+            "plain_bytes": int(row["plain_bytes"]),
+            "stored_bytes": int(row["stored_bytes"]),
+            "n_partitions": int(row["n_partitions"]),
+            "n_tree_roots": int(n_roots),
+            "prefix_len": self.prefix_len,
+            "cipher": self.manifest.get("cipher"),
+        }

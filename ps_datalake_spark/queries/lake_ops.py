@@ -127,51 +127,17 @@ def b38_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_blobs, 0 AS n_mismatch FROM documents
     """,
     tags=("B38", "lake"),
-    doc="put → get round-trip integrity for every document blob, verified "
-    "distributedly: decrypt stored chunks and compare against the original "
-    "plaintext hash (raw hkeys decoded inline).",
+    doc="put → get round-trip integrity for every document blob through the "
+    "real batch API: Store.put_blobs then Store.get_blobs, reconstructed "
+    "plaintext compared by sha256 against the original.",
 )
 def b38_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from ..lake import crypto
-
     store = _fresh_store(spark, "q_store_rt")
     blobs = _doc_blobs(spark, sf_dir)
     hkeys = store.put_blobs(blobs)
-
-    # distributed verification: reconstruct plaintext per hkey, compare sha256
+    back = store.get_blobs(hkeys)
     orig = blobs.select("id", F.sha2("data", 256).alias("want_sha"))
-    parts = F.split(F.col("hkey"), ":")
-    parsed = hkeys.select(
-        "id",
-        parts.getItem(0).alias("kind"),
-        parts.getItem(1).alias("href"),
-        "hkey",
-    )
-    raw = parsed.where(F.col("kind") == "raw").select(
-        "id", F.sha2(F.unbase64(F.translate(F.col("href"), "-_", "+/")), 256).alias("got_sha")
-    )
-    enc = (
-        parsed.where(F.col("kind") == "enc")
-        .select("id", F.col("href").alias("hash"), F.split("hkey", ":").getItem(2).alias("key"))
-        .join(store.chunks().select("hash", "data"), "hash")
-    )
-
-    def _decrypt(batches):
-        import hashlib
-
-        for pdf in batches:
-            got = [
-                hashlib.sha256(
-                    crypto.decrypt(bytes(d), bytes.fromhex(k))
-                ).hexdigest()
-                for d, k in zip(pdf["data"], pdf["key"])
-            ]
-            yield pd.DataFrame({"id": pdf["id"], "got_sha": got})
-
-    enc_got = enc.select("id", "key", "data").mapInPandas(_decrypt, "id long, got_sha string")
-    got = raw.unionByName(enc_got)
+    got = back.select("id", F.sha2("data", 256).alias("got_sha"))
     j = orig.join(got, "id", "left")
     return j.agg(
         F.count("*").alias("n_blobs"),

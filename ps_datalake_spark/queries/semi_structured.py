@@ -201,19 +201,22 @@ def b27_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            sha256(text) AS text_sha,
-           to_base64(encode(substr(text, 1, 16))) AS head_b64
+           to_base64(encode(substr(text, 1, 16))) AS head_b64,
+           'plain:' || sha256(text) || ':' || CAST(octet_length(encode(text)) AS VARCHAR)
+             AS hkey_demo
     FROM documents ORDER BY doc_id
     """,
     tags=("B28",),
-    doc="Vectorized pandas_udf (Arrow-batched): sha256 + base64 — the lake's "
-    "hash/hkey codec primitives. Row-at-a-time Python UDFs are deliberately "
-    "not used anywhere in the engine.",
+    doc="UDF surface: Arrow-batched pandas_udf (sha256/base64 — the lake's "
+    "hash/hkey codec primitives) plus ONE row-at-a-time scalar udf for API "
+    "coverage (hkey encode demo). Only pandas UDFs appear in engine hot "
+    "paths; scalar UDFs are ~10-100× slower (per-row pickling).",
 )
 def b28_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import base64
     import hashlib
 
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import pandas_udf, udf
 
     @pandas_udf("string")
     def sha256_hex(s: pd.Series) -> pd.Series:
@@ -223,11 +226,21 @@ def b28_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def b64_head(s: pd.Series) -> pd.Series:
         return s.map(lambda t: base64.b64encode(t[:16].encode("utf-8")).decode("ascii"))
 
+    @udf("string")
+    def hkey_demo(text):  # scalar (row-at-a-time) UDF — API coverage only
+        from ps_datalake_spark.lake.hkey import Hkey
+
+        raw = text.encode("utf-8")
+        return Hkey(
+            kind="plain", hash=hashlib.sha256(raw).hexdigest(), size=len(raw)
+        ).encode()
+
     d = T(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         sha256_hex(F.col("text")).alias("text_sha"),
         b64_head(F.col("text")).alias("head_b64"),
+        hkey_demo(F.col("text")).alias("hkey_demo"),
     ).orderBy("doc_id")
 
 

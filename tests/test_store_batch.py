@@ -1,0 +1,56 @@
+"""Distributed get_blobs + maintenance ops (compact, stats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ps_datalake_spark.lake import Store
+from ps_datalake_spark.lake.store import MAX_DECRYPTED_SIZE
+
+
+def _blob(n: int) -> bytes:
+    return bytes((i * 17 + n) % 256 for i in range(n))
+
+
+def test_get_blobs_all_tiers(spark, tmp_path):
+    store = Store.create(spark, str(tmp_path / "batch_store"), prefix_len=1)
+    sizes = [0, 10, 128, 500, 5000, MAX_DECRYPTED_SIZE + 5000]
+    blobs = {i: _blob(n) for i, n in enumerate(sizes)}
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in blobs.items()], "id long, data binary"
+    )
+    hkeys = store.put_blobs(df)
+    back = store.get_blobs(hkeys)
+    got = {r["id"]: bytes(r["data"]) if r["data"] is not None else None for r in back.collect()}
+    assert set(got) == set(blobs)
+    for i, b in blobs.items():
+        assert got[i] == b, f"blob {i} (size {sizes[i]}) mismatched"
+
+
+def test_get_blobs_missing_hash_is_null(spark, tmp_path):
+    store = Store.create(spark, str(tmp_path / "miss_store"), prefix_len=1)
+    df = spark.createDataFrame(
+        [(1, "enc:" + "0" * 64 + ":" + "0" * 64 + ":10")], "id long, hkey string"
+    )
+    rows = store.get_blobs(df).collect()
+    assert len(rows) == 1 and rows[0]["data"] is None
+
+
+def test_compact_and_stats(spark, tmp_path):
+    store = Store.create(spark, str(tmp_path / "compact_store"), prefix_len=1)
+    # several appends → several files per partition
+    for batch in range(3):
+        df = spark.createDataFrame(
+            [(batch * 10 + i, bytearray(_blob(300 + batch * 10 + i))) for i in range(8)],
+            "id long, data binary",
+        )
+        store.put_blobs(df).count()
+    before = store.stats()
+    assert before["n_chunks"] == 25  # 24 blobs + sentinel
+    n_files = store.compact(target_file_bytes=1 << 20)
+    after = store.stats()
+    assert after["n_chunks"] == before["n_chunks"], "compaction must not change content"
+    assert after["plain_bytes"] == before["plain_bytes"]
+    assert n_files <= after["n_partitions"] * 2
+    # content still readable after compaction
+    assert store.has(store.chunks().select("hash").head()["hash"])
