@@ -1,0 +1,148 @@
+"""Extended relational surface beyond the core B-list: pivot, array-collecting
+aggregates, approximate percentiles, extended date functions, try_* error
+handling. Same oracle conventions as relational.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ._util import T, dround
+
+
+@query(
+    "b13_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_F,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("B13",),
+    doc="Pivot (wide aggregation): quantity by returnflag × linestatus.",
+)
+def b13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return p.select(
+        "l_returnflag",
+        dround(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+        dround(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "b10_collect_agg",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(DISTINCT n_name)) AS nations,
+           CAST(len(list(n_name)) AS BIGINT) AS n_rows
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("B10",),
+    doc="Array-collecting aggregates: sorted collect_set + collect_list size.",
+)
+def b10_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = T(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_set("n_name")).alias("nations"),
+            F.size(F.collect_list("n_name")).cast("bigint").alias("n_rows"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "b12_approx_percentile",
+    oracle="""
+    SELECT true AS within_tol,
+           round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 0)
+             AS exact_p50_rounded
+    FROM orders
+    """,
+    tags=("B12",),
+    doc="approx_percentile checked within 2% of the exact median (tolerance "
+    "folded into the result like b12_approx_count_distinct). The exact value "
+    "is emitted rounded to whole units so both engines agree.",
+)
+def b12_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+    )
+    return agg.select(
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50") <= 0.02).alias(
+            "within_tol"
+        ),
+        dround(F.col("exact_p50"), 0).alias("exact_p50_rounded"),
+    )
+
+
+@query(
+    "b22_dates_ext",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderdate::DATE + INTERVAL 2 MONTH)::DATE AS plus2mo,
+           last_day(o_orderdate::DATE) AS month_end,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           date_trunc('week', o_orderdate::DATE)::DATE AS week_start
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("B22",),
+    doc="Extended date functions: add_months, last_day, quarter, weekofyear, "
+    "ISO weekday, week truncation.",
+)
+def b22_dates_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    # Spark dayofweek: 1=Sunday..7=Saturday; ISO dow: 1=Monday..7=Sunday
+    iso_dow = F.when(F.dayofweek(d) == 1, 7).otherwise(F.dayofweek(d) - 1)
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 2).alias("plus2mo"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.weekofyear(d).cast("bigint").alias("woy"),
+        iso_dow.cast("bigint").alias("iso_dow"),
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "b24_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           try_cast(o_orderpriority AS INTEGER) AS prio_int,
+           try_cast(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           CASE WHEN o_custkey % 10 = 0 THEN NULL
+                ELSE round(o_totalprice / (o_custkey % 10), 2) END AS per_unit
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("B24",),
+    doc="try_cast / try_divide error-safe evaluation (NULL on failure, "
+    "matching DuckDB's try_cast and guarded division).",
+)
+def b24_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_int"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_digit"),
+        dround(F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 10), 2).alias(
+            "per_unit"
+        ),
+    ).orderBy("o_orderkey")
