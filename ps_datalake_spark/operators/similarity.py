@@ -101,6 +101,113 @@ def cosine_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: f
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 3,
+    n_clusters: int = 16,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN via an IVF (inverted-file) index: deterministic k-means coarse
+    quantizer, exact cosine inside the nprobe nearest cells.
+
+    Centroid init = the vectors of the n_clusters smallest ids (deterministic,
+    no RNG); `iters` Lloyd rounds with assignment as a per-batch numpy argmax
+    (corpus never shuffles) and centroid update as a driver-side reduce of
+    per-batch partial sums (n_clusters×dim floats — KB-sized at any corpus
+    scale). At 100 TB the corpus is *written* partitioned by cell so probing
+    nprobe cells is partition pruning; here the cell join expresses the plan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    base = emb.select(F.col(id_col).alias("cand_id"), _as_double(vec_col).alias("cvec"))
+    base = base.persist()
+    try:
+        seed_rows = base.orderBy("cand_id").limit(n_clusters).collect()
+        C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in seed_rows])
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+        for _ in range(iters):
+            Cb = C  # capture
+
+            def _partials(batches, Cb=Cb):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
+                    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                    assign = (Xn @ Cb.T).argmax(axis=1)
+                    out = {"cell": [], "n": [], "vsum": []}
+                    for c in np.unique(assign):
+                        out["cell"].append(int(c))
+                        out["n"].append(int((assign == c).sum()))
+                        out["vsum"].append(Xn[assign == c].sum(axis=0).tolist())
+                    yield pd.DataFrame(out)
+
+            parts = base.mapInPandas(_partials, "cell int, n long, vsum array<double>").collect()
+            sums = np.zeros_like(C)
+            counts = np.zeros(n_clusters)
+            for r in parts:
+                sums[r["cell"]] += np.asarray(r["vsum"])
+                counts[r["cell"]] += r["n"]
+            nonzero = counts > 0
+            C[nonzero] = sums[nonzero] / counts[nonzero, None]
+            C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+        Cf = C
+
+        def _assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                yield pdf.assign(cell=(Xn @ Cf.T).argmax(axis=1).astype("int32"))
+
+        cells = base.mapInPandas(_assign, "cand_id long, cvec array<double>, cell int")
+
+        # queries probe their nprobe nearest cells
+        q_rows = base.where(F.col("cand_id").isin(query_ids)).collect()
+        probe_rows = []
+        for r in q_rows:
+            qv = np.asarray(r["cvec"], dtype=np.float64)
+            qn = qv / np.linalg.norm(qv)
+            order = np.argsort(-(Cf @ qn))[:nprobe]
+            for cell in order:
+                probe_rows.append((int(r["cand_id"]), int(cell)))
+        probes = F.broadcast(
+            emb.sparkSession.createDataFrame(probe_rows, "query_id long, cell int")
+        )
+        qvecs = F.broadcast(
+            base.where(F.col("cand_id").isin(query_ids)).select(
+                F.col("cand_id").alias("query_id"), F.col("cvec").alias("qvec")
+            )
+        )
+        scored = (
+            cells.join(probes, "cell")
+            .join(qvecs, "query_id")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "cand_id", "cos", F.col("rnk").cast("bigint").alias("rnk"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()
+
+
 def _projection_planes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from blake2b — no RNG state."""
     planes = []

@@ -86,6 +86,31 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, window: int = 50, stride: int = 40
+) -> DataFrame:
+    """Split documents into overlapping token windows (training-data chunking).
+
+    Chunk i covers tokens [i*stride+1, i*stride+window] (1-based); the number
+    of chunks is 1 + ceil(max(n-window, 0)/stride) so the tail is always
+    covered. Pure JVM expressions — exactly reproducible in SQL.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = 1 + F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(stride)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, window)))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        "doc",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("bigint").alias("chunk_tokens"),
+        F.sha2(F.col("chunk_text").cast("binary"), 256).alias("chunk_sha"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 1) -> DataFrame:
     """Top-k TF-IDF terms per document (exact, join-based — not HashingTF — so
     the result is oracle-checkable; idf = ln(N / df))."""

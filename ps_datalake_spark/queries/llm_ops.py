@@ -311,6 +311,55 @@ def b37_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc", "term", dround("tfidf", 6).alias("tfidf"), "rnk").orderBy("doc")
 
 
+@query(
+    "b36_ivf_topk",
+    oracle=None,  # cell assignment depends on the engine-side k-means
+    tags=("B36", "llm"),
+    doc="ANN top-3 via an IVF index: deterministic k-means coarse quantizer "
+    "(2 Lloyd rounds, numpy partial-sum reduce), exact cosine within nprobe=2 "
+    "cells. Recall vs brute force asserted in tests/test_llm_ops.py.",
+)
+def b36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    topk = S.ivf_topk(emb, "vec_id", "embedding", query_ids=list(range(10)), k=3)
+    return topk.select("query_id", "cand_id", dround("cos", 6).alias("cos"), "rnk").orderBy(
+        "query_id", "rnk"
+    )
+
+
+@query(
+    "b41_doc_chunking",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ),
+    meta AS (
+      SELECT doc_id, t, len(t) AS n,
+             1 + CAST(ceil(greatest(len(t) - 50, 0) / 40.0) AS INT) AS n_chunks
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(t[i*40+1 : least(i*40+50, n)], ' ') AS chunk_text
+      FROM meta, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) s
+    )
+    SELECT doc_id AS doc,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(string_split_regex(chunk_text, '\s+')) AS BIGINT) AS chunk_tokens,
+           sha256(chunk_text) AS chunk_sha
+    FROM chunks ORDER BY doc, chunk_idx
+    """,
+    tags=("B41", "llm"),
+    doc="Training-data chunking: overlapping 50-token windows, stride 40, "
+    "tail always covered; chunk content verified by sha256.",
+)
+def b41_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return X.chunk_documents(docs, "doc_id", "text", window=50, stride=40).orderBy(
+        "doc", "chunk_idx"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

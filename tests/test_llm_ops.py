@@ -45,6 +45,23 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert hits >= len(exact) * 0.5, f"ANN recall too low: {hits}/{len(exact)}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in S.cosine_topk(emb, "vec_id", "embedding", qids, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in S.ivf_topk(
+            emb, "vec_id", "embedding", qids, k=3, n_clusters=8, nprobe=3
+        ).collect()
+    }
+    hits = sum(1 for pair in exact if pair in approx)
+    assert hits >= len(exact) * 0.5, f"IVF recall too low: {hits}/{len(exact)}"
+
+
 def test_simhash_is_deterministic_and_selective(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     fp1 = {r.doc: r.simhash for r in D.simhash64(docs, "doc_id", "text").collect()}
