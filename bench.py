@@ -40,6 +40,7 @@ HEADLINE = [
     "b36_cosine_topk",
     "b37_token_stats",
     "b38_put_dedup",
+    "b42_llm_pipeline",
 ]
 
 

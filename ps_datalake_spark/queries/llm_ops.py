@@ -360,6 +360,97 @@ def b41_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b42_llm_pipeline",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE lang IN ('en', 'de', 'fr')
+    ),
+    quality AS (
+      SELECT doc_id, text, t FROM toks
+      WHERE len(t) >= 20
+        AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.2
+    ),
+    exact_kept AS (  -- exact dedup: keep the smallest doc_id per content hash
+      SELECT doc_id, text, t FROM (
+        SELECT doc_id, text, t,
+               row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM quality)
+      WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM exact_kept
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    near_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    near_dups AS (  -- drop any doc near-dup (j>=0.5) of a smaller-id doc
+      SELECT DISTINCT id_b AS doc_id FROM near_pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    survivors AS (
+      SELECT doc_id, text FROM exact_kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
+    ),
+    meta AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM survivors
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx
+      FROM (SELECT doc_id, t, len(t) AS n,
+                   1 + CAST(ceil(greatest(len(t) - 50, 0) / 40.0) AS INT) AS n_chunks
+            FROM meta) m,
+           LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) s
+    )
+    SELECT (SELECT count(*) FROM survivors) AS n_docs,
+           (SELECT count(*) FROM chunks) AS n_chunks,
+           (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM survivors) AS id_checksum
+    """,
+    tags=("B42", "llm", "flagship"),
+    doc="End-to-end training-data prep: language filter → quality filter "
+    "(length + lexical diversity) → exact dedup (min-id keeper) → near-dup "
+    "removal (Jaccard ≥ 0.5 vs any smaller-id doc) → overlapping chunking. "
+    "One composed DataFrame pipeline, fully oracle-checked.",
+)
+def b42_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = T(spark, sf_dir, "documents").where(F.col("lang").isin("en", "de", "fr"))
+    toks = D.tokenize(F.col("text"))
+    quality = docs.where(
+        (F.size(toks) >= 20)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.2)
+    )
+    w = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256)).orderBy("doc_id")
+    exact_kept = quality.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    near = D.jaccard_pairs(exact_kept, "doc_id", "text", n=3, threshold=0.5)
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = exact_kept.join(drop, "doc_id", "left_anti").select("doc_id", "text")
+    survivors = survivors.persist()
+    chunks = X.chunk_documents(survivors, "doc_id", "text", window=50, stride=40)
+    out = (
+        survivors.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("id_checksum"),
+        )
+        .crossJoin(chunks.agg(F.count("*").alias("n_chunks")))
+        .select("n_docs", "n_chunks", "id_checksum")
+    )
+    result = out.localCheckpoint(eager=True)
+    survivors.unpersist()
+    return result
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -1,0 +1,41 @@
+"""Plan-quality regression tests: lock in the physical-plan properties
+documented in PLANS.md (pushdown, pruning, broadcast, top-k without sort)."""
+
+from __future__ import annotations
+
+from ps_datalake_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+def _formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted_plan(SPECS["b10_tpch_q1"].build(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter must reach the scan"
+    # pruned read schema: the unused FK columns must not be scanned
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "HashAggregate" in plan, "partial+final hash aggregation expected"
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _formatted_plan(SPECS["b05_join_inner_4way"].build(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, "nation/region must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _formatted_plan(SPECS["b18_topk"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-k must not plan a global sort"
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    semi = _formatted_plan(SPECS["b07_semi_join"].build(spark, sf_dir))
+    anti = _formatted_plan(SPECS["b07_anti_join"].build(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
