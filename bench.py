@@ -28,6 +28,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # range join, event windows, streaming, dedup tiers, similarity, lake core).
 HEADLINE = [
     "b10_tpch_q1",
+    "b04_tpch_q6",
+    "b05_tpch_q5",
     "b05_join_inner_4way",
     "b16_window_frames",
     "b08_range_join",

@@ -63,28 +63,63 @@ def jaccard_pairs(
     sum(df_shingle²) not docs² — the standard exact-verification stage after
     an LSH candidate pass at scale.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    # One shingle materialization feeds both join sides AND the size table
+    # (shingling via interpreted higher-order expressions computed 3× tripled
+    # the cost of this operator). Shingles are generated in Arrow batches and
+    # hashed to int64 (blake2b/8B) immediately: the posting-list join then
+    # shuffles and compares fixed-width longs instead of ~20-char strings.
+    # (Collision probability over n shingles ≈ n²/2^65 — irrelevant here.)
+    import hashlib
+
+    import pandas as pd
+
+    def _shingle_rows(batches):
+        for pdf in batches:
+            out_doc, out_sh = [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                toks = text.lower().split()
+                if len(toks) < n:
+                    continue
+                grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                for g in grams:
+                    out_doc.append(doc)
+                    out_sh.append(
+                        int.from_bytes(
+                            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+                            "big",
+                            signed=True,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc": pd.Series(out_doc, dtype="int64"), "sh": pd.Series(out_sh, dtype="int64")}
+            )
+
+    sh = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+        .mapInPandas(_shingle_rows, "doc long, sh long")
+        .persist()
     )
-    sizes = df.select(
-        F.col(id_col).alias("doc"), F.size(shingles(F.col(text_col), n)).alias("n_sh")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    try:
+        sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+        jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        return (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sh.unpersist()
 
 
 def minhash_signatures(
@@ -206,6 +241,49 @@ def minhash_neardup_pairs(
         .select("id_a", "id_b", (agree / F.lit(k)).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame, nodes: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs: label propagation to the
+    minimum id (the classic iterative Spark pattern; dedup clustering's last
+    step — each cluster keeps its min-id doc).
+
+    `pairs` has (id_a, id_b); `nodes` has (doc). Returns (doc, cluster) where
+    cluster = min doc id reachable. Each iteration is one join + groupBy-min;
+    lineage is cut per round with localCheckpoint so plans stay flat. Converges
+    in O(log(diameter)) rounds for near-dup graphs (tiny diameters).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col("doc"), F.col("doc").alias("cluster"))
+    for _ in range(max_iter):
+        # neighbor's best label, merged with own
+        candidate = (
+            edges.join(labels, edges.dst == labels.doc)
+            .select(F.col("src").alias("doc"), F.col("cluster"))
+            .unionByName(labels)
+            .groupBy("doc")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            candidate.alias("n")
+            .join(labels.alias("o"), "doc")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = candidate
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -6,6 +6,7 @@ Importing this package populates the registry in ``ps_datalake_spark.registry``.
 from . import relational  # noqa: F401
 from . import relational_ext  # noqa: F401
 from . import functions_ext  # noqa: F401
+from . import tpch_like  # noqa: F401
 from . import sql_surface  # noqa: F401
 from . import semi_structured  # noqa: F401
 from . import event_windows  # noqa: F401

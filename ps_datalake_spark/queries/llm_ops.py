@@ -312,6 +312,62 @@ def b37_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b35_dedup_clusters",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    near AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM near
+      UNION SELECT id_b, id_a FROM near
+    ),
+    reach AS (
+      -- transitive closure by recursion: every (node, reachable-label) pair
+      WITH RECURSIVE walk(node, label) AS (
+        SELECT doc_id, doc_id FROM sh
+        UNION
+        SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+      )
+      SELECT node, min(label) AS cluster FROM walk GROUP BY node
+    )
+    SELECT node AS doc, CAST(cluster AS BIGINT) AS cluster FROM reach
+    ORDER BY doc
+    """,
+    tags=("B35", "llm"),
+    doc="Dedup clustering: connected components over Jaccard≥0.3 near-dup "
+    "pairs via iterative min-label propagation (the classic Spark iterative "
+    "pattern); oracle is a recursive-CTE transitive closure in DuckDB.",
+)
+def b35_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    nodes = docs.select(F.col("doc_id").alias("doc"))
+    labels = D.connected_components(pairs, nodes)
+    return labels.select("doc", F.col("cluster").cast("bigint").alias("cluster")).orderBy(
+        "doc"
+    )
+
+
+@query(
     "b36_ivf_topk",
     oracle=None,  # cell assignment depends on the engine-side k-means
     tags=("B36", "llm"),
