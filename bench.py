@@ -61,17 +61,20 @@ def main() -> None:
     # warm up the JVM + parquet footers once, outside the timed region
     specs["b01_scan_parquet"].build(spark, SF_DIR).collect()
 
-    # one warmup + one timed run per query: the first execution pays one-time
-    # whole-stage-codegen compilation (~1-4 s/plan) that any long-lived
-    # deployment amortizes; steady-state is the honest per-query cost.
-    # (Stateful queries — lake puts — are warmed by their own first run; their
-    # second run exercises the same code path on an existing store.)
+    # one warmup + two timed runs (min) per query: the first execution pays
+    # one-time whole-stage-codegen compilation (~1-4 s/plan) that any
+    # long-lived deployment amortizes; min-of-2 damps container noise.
+    # (Stateful queries — lake puts — are warmed by their own first run; later
+    # runs exercise the same code path on an existing store.)
     times: dict[str, float] = {}
     for name in HEADLINE:
         _force(specs[name].build(spark, SF_DIR))  # warmup (compile + JIT)
-        t0 = time.perf_counter()
-        _force(specs[name].build(spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(specs[name].build(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     duck_times: dict[str, float] = {}
     try:
