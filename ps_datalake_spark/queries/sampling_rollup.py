@@ -1,0 +1,119 @@
+"""Deterministic sampling/splitting (training-data reproducibility) and
+multi-resolution time rollups (the hypertable continuous-aggregate shape).
+
+Sampling uses a content-derived uniform hash — sha256 of the key, first 4 hex
+digits mod 100 — so the same row lands in the same sample/split on every
+engine and every run; both Spark and DuckDB compute it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ._util import T, dround
+
+
+def _hash_pct(key: Column) -> Column:
+    """Uniform [0,100) bucket from sha256 of the key (engine-portable)."""
+    return F.conv(F.substring(F.sha2(key.cast("string").cast("binary"), 256), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+
+
+_HASH_PCT_SQL = "CAST(('0x' || substr(sha256(CAST({k} AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
+
+
+@query(
+    "b43_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    WHERE {_HASH_PCT_SQL.format(k='doc_id')} <
+          CASE lang WHEN 'en' THEN 20 ELSE 50 END
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("B43", "llm"),
+    doc="Deterministic stratified sampling: per-language rates (downsample "
+    "dominant 'en' to 20%, others 50%) via content-derived hash — "
+    "reproducible across engines/runs, no RNG state.",
+)
+def b43_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 20).otherwise(50)
+    sampled = docs.where(_hash_pct(F.col("doc_id")) < rate)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("doc_id").cast("bigint").alias("id_checksum"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "b43_train_val_test_split",
+    oracle=f"""
+    SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT n_chars, {_HASH_PCT_SQL.format(k='doc_id')} AS h FROM documents)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("B43", "llm"),
+    doc="Deterministic 80/10/10 train/val/test split by content hash — stable "
+    "membership under re-runs and data appends.",
+)
+def b43_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    h = _hash_pct(F.col("doc_id"))
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "b44_rollup_cascade",
+    oracle="""
+    WITH m10 AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS b10,
+             event_type, count(*) AS cnt, sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL '1 hour', b10) AS b60,
+           event_type,
+           CAST(sum(cnt) AS BIGINT) AS cnt,
+           round(sum(sv), 2) AS sum_val
+    FROM m10
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("B44", "B30"),
+    doc="Hypertable-style rollup cascade: the hourly aggregate is computed "
+    "FROM the 10-minute aggregate (re-aggregation of partials), not from raw "
+    "events — the continuous-aggregate pattern that keeps 100 TB rollups "
+    "incremental.",
+)
+def b44_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    m10 = ev.groupBy(
+        F.window(F.col("ts"), "10 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+    h1 = (
+        m10.groupBy(F.window(F.col("w.start"), "1 hour").alias("w60"), "event_type")
+        .agg(F.sum("cnt").alias("cnt"), dround(F.sum("sv"), 2).alias("sum_val"))
+        .select(
+            F.col("w60.start").cast("timestamp_ntz").alias("b60"),
+            "event_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            "sum_val",
+        )
+    )
+    return h1.orderBy("b60", "event_type")
