@@ -209,15 +209,21 @@ class Store:
         if not isinstance(prefix_len, int) or not (1 <= prefix_len <= 8):
             raise Corrupted(f"invalid prefix_len: {prefix_len!r}")
         store = cls(spark, path, readonly=readonly, manifest=manifest)
-        chunks = store.chunks()
-        got = {f.name: f.dataType for f in chunks.schema.fields}
-        want = {f.name: f.dataType for f in CHUNKS_SCHEMA.fields}
-        # partition column surfaces as string either way; data columns must match
-        for name, dtype in want.items():
-            if name == "hash_prefix":
-                continue
-            if got.get(name) != dtype:
-                raise Corrupted(f"chunks schema mismatch on {name!r}: {got.get(name)}")
+        # schema check must read the ACTUAL file footers (chunks() imposes the
+        # expected schema on read, which would make this check vacuous)
+        chunks_path = os.path.join(path, "chunks")
+        if os.path.isdir(chunks_path):
+            try:
+                got = {f.name: f.dataType for f in spark.read.parquet(chunks_path).schema.fields}
+            except Exception as e:
+                raise Corrupted(f"chunks dataset unreadable: {e}") from e
+            want = {f.name: f.dataType for f in CHUNKS_SCHEMA.fields}
+            for name, dtype in want.items():
+                # the partition column surfaces as string either way
+                if name == "hash_prefix":
+                    continue
+                if got.get(name) != dtype:
+                    raise Corrupted(f"chunks schema mismatch on {name!r}: {got.get(name)}")
         return store
 
     # -- dataset accessors ---------------------------------------------------
@@ -272,6 +278,10 @@ class Store:
             ).alias("n_mid"),
             F.sum((F.col("_sz") > MAX_DECRYPTED_SIZE).cast("long")).alias("n_big"),
             F.coalesce(F.sum("_sz"), F.lit(0)).alias("total"),
+            F.coalesce(
+                F.sum(F.when(F.col("_sz") <= MAX_SIZE_RAW, F.col("_sz")).otherwise(0)),
+                F.lit(0),
+            ).alias("raw_bytes"),
         ).head()
         n_raw, n_mid, n_big = (
             int(tier_counts["n_raw"] or 0),
@@ -280,7 +290,12 @@ class Store:
         )
 
         if self.quota_bytes is not None:
-            if self.stored_bytes() + int(tier_counts["total"]) > self.quota_bytes:
+            # conservative admission: counts storable tiers (mid+big) at full
+            # size — content already present dedups to 0 bytes at write time,
+            # so this can refuse early rather than admit over quota. The raw
+            # tier is inline-only and never counted.
+            storable = int(tier_counts["total"]) - int(tier_counts["raw_bytes"] or 0)
+            if self.stored_bytes() + storable > self.quota_bytes:
                 raise StoreOutOfSpace(f"{self.path}: quota {self.quota_bytes}")
 
         hkey_parts: list[DataFrame] = []
@@ -315,10 +330,16 @@ class Store:
             pieces = big.select("id", "data").mapInPandas(
                 _split_batches, "id long, root_hash string, root_size long, seq int, data binary"
             )
+            # checkpoint: the synthetic join key (monotonically_increasing_id)
+            # must never be recomputed — a divergent recomputation could pair
+            # one chunk's metadata with another's ciphertext. Checkpointing
+            # also keeps the expensive re-chunking from running once per
+            # downstream branch.
             pieces_enc = (
                 pieces.withColumnRenamed("id", "blob_id")
                 .withColumn("id", F.monotonically_increasing_id())
                 .select("blob_id", "root_hash", "root_size", "seq", "id", "data")
+                .localCheckpoint(eager=True)
             )
             child_enc = pieces_enc.select("id", "data").mapInPandas(
                 _encrypt_batches, _ENC_RESULT_SCHEMA
@@ -412,7 +433,10 @@ class Store:
         ).parquet(os.path.join(self.path, "chunks"))
 
     def _append_manifests(self, rows: DataFrame) -> None:
-        staged = rows.join(
+        # in-batch dedup first: two identical large blobs in one put batch
+        # produce the same (root_hash, seq) rows twice — without this, tree
+        # reads would double-concatenate and fail the length check
+        staged = rows.dropDuplicates(["root_hash", "seq"]).join(
             self.manifests().select("root_hash").distinct(), "root_hash", "left_anti"
         )
         staged.write.mode("append").parquet(os.path.join(self.path, "manifests"))
@@ -540,7 +564,7 @@ class Store:
             "id", F.col("p").getItem(1).alias("root_hash")
         )
         kids = (
-            trees.join(self.manifests(), "root_hash")
+            trees.join(self.manifests(), "root_hash")  # missing roots → NULL via final left join
             .join(
                 chunk_data.withColumnRenamed("hash", "child_hash"),
                 "child_hash",
@@ -590,7 +614,10 @@ class Store:
         result = out_parts[0]
         for p in out_parts[1:]:
             result = result.unionByName(p)
-        return result
+        # contract: EVERY input id appears exactly once; tree hkeys with no
+        # manifest rows (and unknown kinds) must surface as NULL data, not
+        # disappear from the output
+        return src.select("id").join(result, "id", "left")
 
     # -- maintenance (the file ops a 100 TB lake needs) ----------------------
 

@@ -77,6 +77,8 @@ def jaccard_pairs(
         for pdf in batches:
             out_doc, out_sh = [], []
             for doc, text in zip(pdf["doc"], pdf["text"]):
+                if text is None:  # dirty rows are skipped, not fatal
+                    continue
                 toks = text.lower().split()
                 if len(toks) < n:
                     continue
@@ -125,10 +127,10 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 64, n: int = 3
 ) -> DataFrame:
-    """K-permutation MinHash signatures via seeded xxhash64 (JVM, no UDF).
+    """K-permutation MinHash signatures, vectorized in Arrow batches.
 
-    Hash function i is xxhash64(i, shingle); the signature is the K column
-    mins — one aggregation pass over the exploded shingles.
+    One blake2b per distinct shingle, then K affine permutations as a numpy
+    matrix op; the signature is the per-permutation min. Shuffle-free.
     """
     # blake2b per distinct shingle, then K affine permutations
     # h_i = (a_i*h + b_i) mod 2^31-1 — the classic universal-hashing MinHash
@@ -151,6 +153,8 @@ def minhash_signatures(
         for pdf in batches:
             out_doc, out_sig = [], []
             for doc, text in zip(pdf["doc"], pdf["text"]):
+                if text is None:  # dirty rows are skipped, not fatal
+                    continue
                 toks = text.lower().split()
                 if len(toks) < n:
                     continue
@@ -165,34 +169,43 @@ def minhash_signatures(
                 sig = ((A * h[None, :] + B) % P).min(axis=1)
                 out_doc.append(doc)
                 out_sig.append(sig.tolist())
-            yield pd.DataFrame({"doc": pd.Series(out_doc, dtype="int64"), "sig": out_sig})
+            yield pd.DataFrame(
+                {
+                    "doc": pd.Series(out_doc, dtype="int64"),
+                    # object dtype: an all-skipped batch must not degrade the
+                    # empty column to float64 (Arrow needs list<int64>)
+                    "sig": pd.Series(out_sig, dtype="object"),
+                }
+            )
 
     src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
     return src.mapInPandas(_sign, "doc long, sig array<long>")
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
-    """Banded LSH: docs agreeing on any band of the signature become candidates."""
-    k = bands  # rows per band computed from signature length at runtime
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16, sig_len: int = 64) -> DataFrame:
+    """Banded LSH: docs agreeing on any band of the signature become candidates.
+
+    `sig_len` must be a positive multiple of `bands` — with rows-per-band 0
+    every band hash would collide and the join degenerates to all-pairs; a
+    non-multiple would silently drop the tail signature components.
+    """
+    if bands <= 0 or sig_len <= 0 or bands > sig_len or sig_len % bands != 0:
+        raise ValueError(f"sig_len ({sig_len}) must be a positive multiple of bands ({bands})")
+    r = sig_len // bands
     banded = sig_df.select(
         "doc",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    b,
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                b * (F.size("sig") / bands).cast("int") + 1,
-                                (F.size("sig") / bands).cast("int"),
-                            ),
-                            lambda x: x.cast("string"),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            ",",
+                            *[F.col("sig").getItem(b * r + i).cast("string") for i in range(r)],
                         ),
-                    ),
-                ),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band_idx", "band_hash"),
     )
@@ -223,24 +236,29 @@ def minhash_neardup_pairs(
 
     est_jaccard = fraction of the K signature components that agree.
     """
-    # persist: the signature aggregation feeds the band join AND both sides
-    # of the verification join — without it the shingle pass runs 3×
+    # persist: the signature computation feeds the band join AND both sides
+    # of the verification join — without it the shingle pass runs 3×;
+    # checkpoint the (small) result so the cache can be released eagerly
     sigs = minhash_signatures(df, id_col, text_col, k=k, n=n).persist()
-    cands = lsh_candidate_pairs(sigs, bands=bands)
-    sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
+    try:
+        cands = lsh_candidate_pairs(sigs, bands=bands, sig_len=k)
+        sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+        agree = F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
         )
-    )
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", (agree / F.lit(k)).alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= threshold)
-    )
+        return (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", (agree / F.lit(k)).alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sigs.unpersist()
 
 
 def connected_components(
@@ -307,7 +325,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         out = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             acc = np.zeros(64, dtype=np.int64)
-            for tok in t.lower().split():
+            for tok in (t.lower().split() if t is not None else ()):
                 h = np.uint64(
                     int.from_bytes(
                         hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"

@@ -62,6 +62,25 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert hits >= len(exact) * 0.5, f"IVF recall too low: {hits}/{len(exact)}"
 
 
+def test_null_text_rows_are_skipped_not_fatal(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, None), (3, "alpha beta gamma delta zeta")],
+        "doc_id long, text string",
+    )
+    assert D.jaccard_pairs(df, "doc_id", "text", threshold=0.1).count() >= 0
+    assert D.minhash_signatures(df, "doc_id", "text").count() == 2  # null skipped
+    assert D.simhash64(df, "doc_id", "text").count() == 3  # null → empty-token fp
+
+
+def test_lsh_band_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.lsh_candidate_pairs(None, bands=16, sig_len=8)  # bands > sig_len
+    with _pytest.raises(ValueError):
+        D.lsh_candidate_pairs(None, bands=12, sig_len=64)  # non-multiple
+
+
 def test_simhash_is_deterministic_and_selective(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     fp1 = {r.doc: r.simhash for r in D.simhash64(docs, "doc_id", "text").collect()}

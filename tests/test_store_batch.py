@@ -27,6 +27,52 @@ def test_get_blobs_all_tiers(spark, tmp_path):
         assert got[i] == b, f"blob {i} (size {sizes[i]}) mismatched"
 
 
+def test_duplicate_large_blobs_one_batch(spark, tmp_path):
+    """Two identical tree-tier blobs in ONE batch must not duplicate manifest
+    rows (regression: double-concatenated tree reads)."""
+    store = Store.create(spark, str(tmp_path / "dup_tree_store"), prefix_len=1)
+    big = _blob(MAX_DECRYPTED_SIZE + 4096)
+    df = spark.createDataFrame(
+        [(1, bytearray(big)), (2, bytearray(big))], "id long, data binary"
+    )
+    hkeys = {r["id"]: r["hkey"] for r in store.put_blobs(df).collect()}
+    assert hkeys[1] == hkeys[2]
+    n_kids = store.manifests().count()
+    assert (
+        store.manifests().select("root_hash", "seq").distinct().count() == n_kids
+    ), "manifest rows must be unique per (root_hash, seq)"
+    assert store.get(hkeys[1]) == big
+
+
+def test_get_blobs_missing_tree_manifest_is_null(spark, tmp_path):
+    store = Store.create(spark, str(tmp_path / "tree_miss_store"), prefix_len=1)
+    df = spark.createDataFrame(
+        [(9, "tree:" + "0" * 64 + ":123")], "id long, hkey string"
+    )
+    rows = store.get_blobs(df).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 9 and rows[0]["data"] is None
+
+
+def test_open_detects_wrong_chunk_schema(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from ps_datalake_spark.errors import Corrupted
+
+    path = str(tmp_path / "schema_store")
+    Store.create(spark, path, prefix_len=1)
+    # clobber chunks/ with a wrong-typed dataset
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "chunks"))
+    spark.createDataFrame([("x", "not-a-long", "e", bytearray(b"d"), "p")],
+        "hash string, size string, enc string, data binary, hash_prefix string"
+    ).write.parquet(os.path.join(path, "chunks"))
+    with _pytest.raises(Corrupted):
+        Store.open(spark, path)
+
+
 def test_get_blobs_missing_hash_is_null(spark, tmp_path):
     store = Store.create(spark, str(tmp_path / "miss_store"), prefix_len=1)
     df = spark.createDataFrame(
