@@ -650,6 +650,63 @@ class Store:
         os.replace(tmp, chunks_path)
         return len(glob.glob(os.path.join(chunks_path, "*", "*.parquet")))
 
+    def vacuum(self, roots: DataFrame, hkey_col: str = "hkey") -> int:
+        """Mark-and-sweep GC: keep only chunks reachable from the given root
+        hkeys (plain/enc hashes + every tree child via manifests + sentinel).
+
+        Content-addressed stores can't know liveness locally — the caller
+        supplies the root set (e.g. a catalog of live hkeys). Returns the
+        number of chunks removed. At scale this is one semi-join + rewrite,
+        same shape as compact(). Single-writer op.
+        """
+        if self.readonly:
+            raise StoreReadOnly(self.path)
+        chunks_path = os.path.join(self.path, "chunks")
+        if not os.path.isdir(chunks_path):
+            return 0
+        parts = F.split(F.col(hkey_col), ":")
+        parsed = roots.select(
+            parts.getItem(0).alias("kind"), parts.getItem(1).alias("href")
+        )
+        direct = parsed.where(F.col("kind").isin("plain", "enc")).select(
+            F.col("href").alias("hash")
+        )
+        tree_roots = parsed.where(F.col("kind") == "tree").select(
+            F.col("href").alias("root_hash")
+        )
+        tree_kids = tree_roots.join(self.manifests(), "root_hash").select(
+            F.col("child_hash").alias("hash")
+        )
+        import hashlib as _hl
+
+        sentinel_plain = SENTINEL + b"\0" * MAX_SIZE_RAW
+        sentinel_hash = _hl.sha256(
+            crypto.encrypt(sentinel_plain, crypto.convergent_key(sentinel_plain))
+        ).hexdigest()
+        sentinel = self.spark.createDataFrame([(sentinel_hash,)], "hash string")
+        live = direct.unionByName(tree_kids).unionByName(sentinel).distinct()
+
+        before = self.chunks().count()
+        kept = self.chunks().join(live, "hash", "left_semi")
+        tmp = chunks_path + ".vacuum"
+        kept.repartition("hash_prefix").write.mode("overwrite").partitionBy(
+            "hash_prefix"
+        ).parquet(tmp)
+        import shutil as _sh
+
+        _sh.rmtree(chunks_path)
+        os.replace(tmp, chunks_path)
+        # manifests for unreachable tree roots are swept too
+        live_roots = tree_roots.distinct()
+        manifests_path = os.path.join(self.path, "manifests")
+        if os.path.isdir(manifests_path):
+            kept_manifests = self.manifests().join(live_roots, "root_hash", "left_semi")
+            mtmp = manifests_path + ".vacuum"
+            kept_manifests.write.mode("overwrite").parquet(mtmp)
+            _sh.rmtree(manifests_path)
+            os.replace(mtmp, manifests_path)
+        return before - self.chunks().count()
+
     def stats(self) -> dict:
         """Store-level statistics (manifest-header analog of the reference's
         free_chunk/index accounting)."""

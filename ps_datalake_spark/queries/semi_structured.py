@@ -192,6 +192,39 @@ def b27_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@query(
+    "b26_maps_ext",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS doubled_k,
+           'K' AS upper_first_key,
+           CAST(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                THEN 1 ELSE 0 END AS BIGINT) AS n_big_vals,
+           'k=' || json_extract_string(props, '$.k') AS kv_str
+    FROM events ORDER BY event_id
+    """,
+    tags=("B26",),
+    doc="Map higher-order functions: transform_values, transform_keys, "
+    "map_filter, str_to_map — projected to scalars for the oracle.",
+)
+def b26_maps_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    upper = F.transform_keys(m, lambda k, v: F.upper(k))
+    big_only = F.map_filter(m, lambda k, v: v > 50)
+    kv = F.str_to_map(F.concat(F.lit("k="), F.element_at(m, "k").cast("string")), F.lit(","), F.lit("="))
+    return ev.select(
+        "event_id",
+        F.element_at(doubled, "k").alias("doubled_k"),
+        F.element_at(F.map_keys(upper), 1).alias("upper_first_key"),
+        F.size(big_only).cast("bigint").alias("n_big_vals"),
+        F.concat(
+            F.element_at(F.map_keys(kv), 1), F.lit("="), F.element_at(kv, "k")
+        ).alias("kv_str"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # B28 / B29 — UDF surface (Arrow-batched only)
 # ---------------------------------------------------------------------------

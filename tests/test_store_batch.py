@@ -82,6 +82,30 @@ def test_get_blobs_missing_hash_is_null(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["data"] is None
 
 
+def test_vacuum_sweeps_unreachable(spark, tmp_path):
+    store = Store.create(spark, str(tmp_path / "vac_store"), prefix_len=1)
+    keep1 = _blob(500)
+    keep2 = _blob(MAX_DECRYPTED_SIZE + 4096)  # tree tier
+    drop1 = _blob(700)
+    hk_keep1 = store.put_blob(keep1)
+    hk_keep2 = store.put_blob(keep2)
+    hk_drop = store.put_blob(drop1)
+    roots = spark.createDataFrame([(hk_keep1,), (hk_keep2,)], "hkey string")
+    removed = store.vacuum(roots)
+    assert removed >= 1
+    # kept blobs still read back; dropped one is gone
+    assert store.get(hk_keep1) == keep1
+    assert store.get(hk_keep2) == keep2
+    import pytest as _pytest
+
+    from ps_datalake_spark.errors import NotFound
+
+    with _pytest.raises(NotFound):
+        store.get(hk_drop)
+    # vacuum is idempotent
+    assert store.vacuum(roots) == 0
+
+
 def test_compact_and_stats(spark, tmp_path):
     store = Store.create(spark, str(tmp_path / "compact_store"), prefix_len=1)
     # several appends → several files per partition
