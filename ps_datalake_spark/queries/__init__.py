@@ -9,6 +9,7 @@ from . import functions_ext  # noqa: F401
 from . import tpch_like  # noqa: F401
 from . import windows_ext  # noqa: F401
 from . import sampling_rollup  # noqa: F401
+from . import analytics  # noqa: F401
 from . import sql_surface  # noqa: F401
 from . import semi_structured  # noqa: F401
 from . import event_windows  # noqa: F401

@@ -312,6 +312,64 @@ def b37_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b35_minhash_ml",
+    oracle=None,  # Spark-ML hash family is engine-internal
+    tags=("B35", "llm", "ml"),
+    doc="Spark-ML variant: Tokenizer → HashingTF → MinHashLSH."
+    "approxSimilarityJoin (seeded, deterministic). The custom b35_minhash_lsh "
+    "remains the primary scale path; this exercises the ml.feature pipeline.",
+)
+def b35_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    words = tok.transform(docs)
+    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 16, binary=True)
+    feats = tf.transform(words)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.7, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            dround(1 - F.col("jaccard_dist"), 4).alias("est_jaccard"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "b37_tfidf_ml",
+    oracle=None,  # HashingTF bucket ids are engine-internal
+    tags=("B37", "llm", "ml"),
+    doc="Spark-ML text pipeline: Tokenizer → StopWordsRemover → HashingTF → "
+    "IDF; emits per-doc feature norms (deterministic). The exact join-based "
+    "b37_tfidf_top remains the oracle-checked counterpart.",
+)
+def b37_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import IDF, HashingTF, StopWordsRemover, Tokenizer
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    words = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    clean = StopWordsRemover(inputCol="words", outputCol="clean").transform(words)
+    tf = HashingTF(inputCol="clean", outputCol="tf", numFeatures=1 << 12).transform(clean)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = idf_model.transform(tf)
+
+    @F.udf("double")
+    def vnorm(v):
+        return float(v.norm(2))
+
+    return (
+        out.select("doc_id", dround(vnorm(F.col("tfidf")), 4).alias("tfidf_norm"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "b35_dedup_clusters",
     oracle=r"""
     WITH toks AS (
