@@ -78,6 +78,69 @@ def decode_real(blobs: DataFrame) -> DataFrame:
     raise NotImplementedError("wire PIL decode here when the dependency is available")
 
 
+RESIZED_SCHEMA = "id bigint, width bigint, height bigint, scale double, content_sha string"
+FEATURES_SCHEMA = "id bigint, features array<double>, dim bigint"
+
+
+def resize_stub(decoded: DataFrame, target: int = 64) -> DataFrame:
+    """Deterministic resize: scales the fake dimensions so the longer side is
+    `target`, preserving aspect ratio — the partition-preserving per-row
+    transform shape of a real resizer (swap the arithmetic for PIL)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def _round_half_up(x):
+            # floor(x+0.5): SQL-compatible rounding (pandas .round() is
+            # banker's rounding, which an oracle can't reproduce portably)
+            return np.floor(x + 0.5).astype("int64")
+
+        for pdf in batches:
+            longer = pdf[["width", "height"]].max(axis=1)
+            scale = target / longer
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": _round_half_up(pdf["width"] * scale).clip(lower=1),
+                    "height": _round_half_up(pdf["height"] * scale).clip(lower=1),
+                    "scale": scale,
+                    "content_sha": pdf["content_sha"],
+                }
+            )
+
+    return decoded.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def feature_extract_stub(blobs: DataFrame, dim: int = 8) -> DataFrame:
+    """Deterministic feature extraction: `dim` floats in [0,1) derived from
+    the content hash — the embedding-column producer shape (swap the hash
+    arithmetic for a real vision/audio encoder). Output feeds directly into
+    the similarity operators (cosine_topk / ann_lsh / ivf)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            feats = []
+            for data in pdf["data"]:
+                digest = hashlib.sha256(bytes(data)).digest()
+                feats.append(
+                    [
+                        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
+                        for i in range(dim)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "features": pd.Series(feats, dtype="object"),
+                    "dim": dim,
+                }
+            )
+
+    return blobs.mapInPandas(_extract, FEATURES_SCHEMA)
+
+
 def frame_sample(blobs: DataFrame, every_nth: int = 10) -> DataFrame:
     """Deterministic frame-sampling stub for video blobs: keeps ids where
     hash(id) % every_nth == 0 — the partition-preserving sampling shape a real

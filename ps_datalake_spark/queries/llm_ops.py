@@ -596,6 +596,42 @@ def b39_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b39_feature_pipeline",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS id,
+             CAST(CAST('0x' || substr(sha256(text), 1, 2) AS INTEGER) + 1 AS BIGINT) AS w,
+             CAST(CAST('0x' || substr(sha256(text), 3, 2) AS INTEGER) + 1 AS BIGINT) AS h,
+             CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) AS f0_raw
+      FROM documents
+    )
+    SELECT id,
+           CAST(greatest(floor(w * (64.0 / greatest(w, h)) + 0.5), 1) AS BIGINT) AS width,
+           CAST(greatest(floor(h * (64.0 / greatest(w, h)) + 0.5), 1) AS BIGINT) AS height,
+           round(CAST(f0_raw AS DOUBLE) / 4294967296.0, 6) AS f0
+    FROM dims ORDER BY id
+    """,
+    tags=("B39", "llm", "multimodal"),
+    doc="Multimodal feature pipeline: blob → decode(stub) → resize(stub, "
+    "target 64) → feature-extract(stub, first component) — the full "
+    "mapInPandas chain with the content-hash arithmetic verified by the "
+    "oracle end-to-end.",
+)
+def b39_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    blobs = M.to_blob(docs, "doc_id", "text")
+    decoded = M.decode_stub(blobs)
+    resized = M.resize_stub(decoded, target=64)
+    feats = M.feature_extract_stub(blobs, dim=8)
+    return (
+        resized.select("id", "width", "height")
+        .join(feats.select("id", F.element_at("features", 1).alias("f0_raw")), "id")
+        .select("id", "width", "height", dround("f0_raw", 6).alias("f0"))
+        .orderBy("id")
+    )
+
+
+@query(
     "b39_frame_sample",
     oracle=None,  # xxhash64 sampling not reproducible in DuckDB
     tags=("B39", "llm", "multimodal"),
