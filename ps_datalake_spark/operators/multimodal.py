@@ -49,7 +49,9 @@ def decode_stub(blobs: DataFrame) -> DataFrame:
         import hashlib
 
         for pdf in batches:
-            digests = pdf["data"].map(lambda b: hashlib.sha256(bytes(b)).hexdigest())
+            digests = pdf["data"].map(
+                lambda b: hashlib.sha256(bytes(b) if b is not None else b"").hexdigest()
+            )
             width = digests.map(lambda h: int(h[0:2], 16) + 1)
             height = digests.map(lambda h: int(h[2:4], 16) + 1)
             yield pd.DataFrame(
@@ -123,7 +125,12 @@ def feature_extract_stub(blobs: DataFrame, dim: int = 8) -> DataFrame:
         for pdf in batches:
             feats = []
             for data in pdf["data"]:
-                digest = hashlib.sha256(bytes(data)).digest()
+                raw = bytes(data) if data is not None else b""
+                digest = hashlib.sha256(raw).digest()
+                if dim > 8:
+                    # sha256's 32 bytes cap at 8 floats; extend with a
+                    # variable-length digest so every dim gets real entropy
+                    digest += hashlib.shake_256(raw).digest(4 * (dim - 8))
                 feats.append(
                     [
                         int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32

@@ -31,7 +31,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not NaN) for zero-norm vectors — NaN sorts above every real
+    score in Spark, which would silently win every top-k."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def cosine_topk(
@@ -59,14 +62,16 @@ def cosine_topk(
     )
     q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
 
     def _score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            # zero-norm guard: a zero vector scores 0 against everything
+            # instead of producing NaNs that outrank real matches
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
             S = Cn @ Qn.T  # (batch, n_queries)
             cand = pdf["cand_id"].to_numpy()
             n_c, n_q = S.shape
@@ -130,8 +135,15 @@ def ivf_topk(
     base = base.persist()
     try:
         seed_rows = base.orderBy("cand_id").limit(n_clusters).collect()
-        C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in seed_rows])
-        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        n_clusters = min(n_clusters, len(seed_rows))  # corpus smaller than k
+        if n_clusters == 0:
+            return emb.sparkSession.createDataFrame(
+                [], "query_id long, cand_id long, cos double, rnk bigint"
+            )
+        C = np.stack(
+            [np.asarray(r["cvec"], dtype=np.float64) for r in seed_rows[:n_clusters]]
+        )
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
         for _ in range(iters):
             Cb = C  # capture
@@ -141,7 +153,7 @@ def ivf_topk(
                     if len(pdf) == 0:
                         continue
                     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
-                    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
                     assign = (Xn @ Cb.T).argmax(axis=1)
                     out = {"cell": [], "n": [], "vsum": []}
                     for c in np.unique(assign):
@@ -167,7 +179,7 @@ def ivf_topk(
                 if len(pdf) == 0:
                     continue
                 X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
-                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
                 yield pdf.assign(cell=(Xn @ Cf.T).argmax(axis=1).astype("int32"))
 
         cells = base.mapInPandas(_assign, "cand_id long, cvec array<double>, cell int")
@@ -252,7 +264,7 @@ def ann_lsh_topk(
     query_ids: list[int],
     k: int = 3,
     n_planes: int = 6,
-    dim: int = 64,
+    dim: int | None = None,
     probe_radius: int = 1,
 ) -> DataFrame:
     """ANN: random-projection LSH bucketing + multi-probe, exact cosine within
@@ -266,6 +278,11 @@ def ann_lsh_topk(
     """
     from pyspark.sql.window import Window
 
+    if dim is None:
+        # infer from the data: a wrong dim makes zip_with null-pad and every
+        # bucket NULL → silently empty results
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
     planes = _projection_planes(n_planes, dim)
     base = emb.select(
         F.col(id_col).alias("cand_id"),

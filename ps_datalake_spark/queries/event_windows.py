@@ -30,8 +30,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import configure
     from ._util import scratch_dir
 
+    import hashlib
+
     configure(spark)  # vanilla driver sessions need nanosAsLong before any read
-    stage = scratch_dir(f"events_stream_{abs(hash(sf_dir))}")
+    token = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across processes
+    stage = scratch_dir(f"events_stream_{token}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
@@ -52,7 +55,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
-    """Execute a streaming DF with availableNow into a memory sink; return it."""
+    """Execute a streaming DF with availableNow into a memory sink; return a
+    checkpointed copy and drop the sink table (repeated bench/driver runs
+    would otherwise accumulate one in-memory table per invocation)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -62,7 +67,10 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
 
 
 # ---------------------------------------------------------------------------
