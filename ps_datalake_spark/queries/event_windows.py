@@ -220,6 +220,43 @@ def b31_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b46_asof_join",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+                       FROM events WHERE event_type = 'purchase'),
+    views AS (SELECT user_id, ts::TIMESTAMP AS ts, value
+              FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           v.ts AS asof_ts,
+           round(v.value, 6) AS asof_value
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+    tags=("B46", "B8"),
+    doc="As-of join (custom operator the brief names): each purchase enriched "
+    "with the user's most recent prior view. Spark side is the "
+    "union+sort+last(ignoreNulls) composition — one shuffle, O(n), no range "
+    "blowup; oracle is DuckDB's native ASOF LEFT JOIN.",
+)
+def b46_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(purchases, views, on="user_id", right_cols=("value",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts"),
+        dround(F.col("asof_value"), 6).alias("asof_value"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # B32 — dedup (batch + streaming with watermark)
 # ---------------------------------------------------------------------------
