@@ -79,14 +79,14 @@ def b23_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b25_array_setops",
     oracle="""
     SELECT n_nationkey,
-           list_sort(list_intersect([n_nationkey, n_regionkey, 7],
-                                    [n_regionkey, 7, 99])) AS both_vals,
-           list_sort(list_distinct(list_concat([n_nationkey, n_regionkey],
-                                               [n_regionkey, 7]))) AS union_vals,
-           list_sort(list_filter([n_nationkey, n_regionkey, 7],
-                     x -> NOT list_contains([n_regionkey, 7], x))) AS only_left,
+           array_to_string(list_sort(list_intersect([n_nationkey, n_regionkey, 7],
+                                    [n_regionkey, 7, 99])), ',') AS both_vals,
+           array_to_string(list_sort(list_distinct(list_concat([n_nationkey, n_regionkey],
+                                               [n_regionkey, 7]))), ',') AS union_vals,
+           coalesce(array_to_string(list_sort(list_filter([n_nationkey, n_regionkey, 7],
+                     x -> NOT list_contains([n_regionkey, 7], x))), ','), '') AS only_left,
            CAST(list_position([10, 20, n_nationkey], n_nationkey) AS BIGINT) AS pos,
-           flatten([[n_nationkey], [n_regionkey, 7]]) AS flat
+           array_to_string(flatten([[n_nationkey], [n_regionkey, 7]]), ',') AS flat
     FROM nation ORDER BY n_nationkey
     """,
     tags=("B25",),
@@ -98,15 +98,20 @@ def b25_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.array("n_regionkey", F.lit(7), F.lit(99))
     ab = F.array("n_nationkey", "n_regionkey")
     bb = F.array("n_regionkey", F.lit(7))
+    def joined(col: F.Column) -> F.Column:
+        # Serialize array results to strings: the driver's pandas canonicalizer
+        # cannot sort ndarray-valued cells (round-1 red rows).
+        return F.array_join(col.cast("array<string>"), ",")
+
     return n.select(
         "n_nationkey",
-        F.sort_array(F.array_intersect(a, b)).alias("both_vals"),
-        F.sort_array(F.array_distinct(F.concat(ab, bb))).alias("union_vals"),
-        F.sort_array(F.array_except(a, bb)).alias("only_left"),
+        joined(F.sort_array(F.array_intersect(a, b))).alias("both_vals"),
+        joined(F.sort_array(F.array_distinct(F.concat(ab, bb)))).alias("union_vals"),
+        joined(F.sort_array(F.array_except(a, bb))).alias("only_left"),
         F.array_position(F.array(F.lit(10), F.lit(20), F.col("n_nationkey")), F.col("n_nationkey"))
         .cast("bigint")
         .alias("pos"),
-        F.flatten(F.array(F.array("n_nationkey"), F.array("n_regionkey", F.lit(7)))).alias(
-            "flat"
-        ),
+        joined(
+            F.flatten(F.array(F.array("n_nationkey"), F.array("n_regionkey", F.lit(7))))
+        ).alias("flat"),
     ).orderBy("n_nationkey")

@@ -42,21 +42,23 @@ def b13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b10_collect_agg",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(DISTINCT n_name)) AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
            CAST(len(list(n_name)) AS BIGINT) AS n_rows
     FROM nation
     GROUP BY n_regionkey
     ORDER BY n_regionkey
     """,
     tags=("B10",),
-    doc="Array-collecting aggregates: sorted collect_set + collect_list size.",
+    doc="Array-collecting aggregates: sorted collect_set + collect_list size. "
+    "The array result is serialized with array_join so the driver's pandas "
+    "canonicalizer (which cannot sort ndarray cells) compares plain strings.",
 )
 def b10_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = T(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_set("n_name")).alias("nations"),
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
             F.size(F.collect_list("n_name")).cast("bigint").alias("n_rows"),
         )
         .orderBy("n_regionkey")

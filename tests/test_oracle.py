@@ -28,3 +28,32 @@ def test_every_query_runs(spark, sf_dir):
         if spec.oracle is None:
             df = spec.build(spark, sf_dir)
             assert df.count() >= 0, name
+
+
+def test_no_complex_result_columns(spark, sf_dir):
+    """The driver's pandas canonicalizer crashes sorting ndarray/dict cells
+    (round-1 red rows b10_collect_agg / b25_array_setops).  Every query must
+    serialize array/map/struct results to strings in its final projection."""
+    import pyspark.sql.types as Ty
+
+    offenders = {}
+    for name, spec in SPECS.items():
+        df = spec.build(spark, sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (Ty.ArrayType, Ty.MapType, Ty.StructType))
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, f"complex-typed result columns: {offenders}"
+
+
+def test_driver_window_covers_unchecked_queries():
+    """all_queries() must order the round-1 driver-unchecked queries first so
+    they fall inside the driver's 50-query CORRECTNESS window."""
+    from ps_datalake_spark.registry import _DRIVER_GREEN_R01
+
+    names = list(SPECS)
+    first = names[: len(names) - len(_DRIVER_GREEN_R01 & set(names))]
+    assert not (set(first) & _DRIVER_GREEN_R01), "green r01 queries must sort last"
