@@ -96,11 +96,173 @@ def cosine_topk(
 
 
 def cosine_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: float) -> DataFrame:
-    """All pairs with cosine >= threshold (brute force, id_a < id_b)."""
+    """All pairs with cosine >= threshold (brute force, id_a < id_b).
+
+    TEST-ONLY oracle baseline: the theta-join is an unkeyed cartesian —
+    O(n^2) rows through a BroadcastNestedLoopJoin.  Production paths are
+    :func:`cosine_neardup_blocked` (exact, keyed block-GEMM) and
+    :func:`cosine_neardup_lsh` (sub-quadratic, for true near-dup thresholds).
+    """
     a = emb.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def cosine_neardup_blocked(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold without a cartesian product.
+
+    Exact all-pairs at an arbitrary threshold is inherently O(n^2) *compute*;
+    the scalable shape is to organize it as block-GEMM rather than a
+    row-by-row nested loop: hash every vector into one of ``n_blocks``
+    buckets, enumerate the O(n_blocks^2) unordered block pairs as join keys,
+    co-locate each block pair with a keyed shuffle (each row is replicated
+    ~n_blocks times — O(n * n_blocks) rows moved, tunable), and run one BLAS
+    matmul per block pair inside applyInPandas.  Every unordered id pair is
+    scored in exactly one task: the task keyed (min(block_a, block_b),
+    max(block_a, block_b)).  The plan is a hash shuffle + grouped map — no
+    CartesianProduct / BroadcastNestedLoopJoin node (asserted in
+    tests/test_plans.py).
+
+    At 100 TB: n_blocks scales with the corpus so one block fits executor
+    memory; replication cost n*n_blocks is the standard exact-all-pairs
+    trade.  For genuine near-dup thresholds (>= ~0.8) prefer
+    :func:`cosine_neardup_lsh`, which is sub-quadratic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = emb.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int"))
+
+    # side L: this block as p, partnered with every q >= p
+    left = base.select(
+        F.col("blk").alias("p"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("q"),
+        F.lit("L").alias("side"),
+        "vid",
+        "vec",
+    )
+    # side R: this block as q, partnered with every p <= q
+    right = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("p"),
+        F.col("blk").alias("q"),
+        F.lit("R").alias("side"),
+        "vid",
+        "vec",
+    )
+    tagged = left.unionByName(right)
+
+    def _score(key, pdf):
+        p, q = key
+        lmask = pdf["side"] == "L"
+        L = pdf[lmask]
+        R = pdf[~lmask]
+        if len(L) == 0 or len(R) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        Lx = np.stack([np.asarray(v, dtype=np.float64) for v in L["vec"]])
+        Rx = np.stack([np.asarray(v, dtype=np.float64) for v in R["vec"]])
+        Ln = Lx / np.maximum(np.linalg.norm(Lx, axis=1, keepdims=True), 1e-300)
+        Rn = Rx / np.maximum(np.linalg.norm(Rx, axis=1, keepdims=True), 1e-300)
+        S = Ln @ Rn.T
+        lid = L["vid"].to_numpy()
+        rid = R["vid"].to_numpy()
+        ii, jj = np.nonzero(S >= threshold)
+        if p == q:
+            # same set on both sides: keep strictly-lower id pairs once
+            keep = lid[ii] < rid[jj]
+        else:
+            # disjoint hash blocks: every (L, R) pair is distinct
+            keep = lid[ii] != rid[jj]
+        ii, jj = ii[keep], jj[keep]
+        id_a = np.minimum(lid[ii], rid[jj])
+        id_b = np.maximum(lid[ii], rid[jj])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos": S[ii, jj]})
+
+    return tagged.groupBy("p", "q").applyInPandas(_score, "id_a long, id_b long, cos double")
+
+
+def cosine_neardup_lsh(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 64,
+    band_bits: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs: banded sign-signature LSH candidates,
+    exact cosine verification on candidates only.
+
+    Each vector gets an ``n_planes``-bit sign signature (one GEMM against the
+    deterministic blake2b planes, Arrow-batched); the signature splits into
+    ``n_planes / band_bits`` bands and a pair becomes a candidate iff it
+    collides in at least one band — a keyed equi-join on (band_idx,
+    band_val), O(sum of bucket^2) not O(n^2).  Candidates are deduped then
+    verified with exact cosine.
+
+    Collision probability per plane is 1 - angle/pi, so recall is high only
+    for genuine near-dup thresholds (cos >= ~0.8); vectors that differ by a
+    positive per-coordinate scaling have *identical* signatures and are
+    recalled with probability 1.  For exhaustive low-threshold scans use
+    :func:`cosine_neardup_blocked`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_planes % band_bits != 0:
+        raise ValueError(f"n_planes={n_planes} must be a multiple of band_bits={band_bits}")
+    n_bands = n_planes // band_bits
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    planes = np.asarray(_projection_planes(n_planes, dim), dtype=np.float64)
+
+    base = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec"))
+
+    def _bands(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            bits = (X @ planes.T) > 0  # (n, n_planes)
+            vid = pdf["vid"].to_numpy()
+            out = []
+            for b in range(n_bands):
+                chunk = bits[:, b * band_bits : (b + 1) * band_bits]
+                vals = chunk @ (1 << np.arange(band_bits, dtype=np.int64))
+                out.append(
+                    pd.DataFrame({"vid": vid, "band_idx": np.int32(b), "band_val": vals})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    sigs = base.mapInPandas(_bands, "vid long, band_idx int, band_val long")
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.vid") < F.col("b.vid"),
+            ],
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

@@ -172,12 +172,74 @@ def b36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     tags=("B36", "llm"),
-    doc="Embedding-cosine near-dup pairs (threshold 0.4), brute force.",
+    doc="Embedding-cosine near-dup pairs (threshold 0.4), exact via keyed "
+    "block-GEMM (hash blocks + applyInPandas matmul per block pair) — no "
+    "cartesian product in the plan (asserted in tests/test_plans.py).",
 )
 def b36_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
-    pairs = S.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    pairs = S.cosine_neardup_blocked(emb, "vec_id", "embedding", threshold=0.4)
     return pairs.select("id_a", "id_b", dround("cos", 6).alias("cos")).orderBy("id_a", "id_b")
+
+
+def _planted_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ 10 planted near-duplicates: copies of vec_id 0-9 under a
+    positive per-coordinate scaling (sign pattern — and hence every LSH
+    signature — is preserved exactly, so banded-LSH recall is 1 by
+    construction, not by luck)."""
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x * (1.0 + 0.1 * (i % 7).cast("double") / 7.0),
+            ).alias("embedding"),
+        )
+    )
+    return emb.unionByName(planted)
+
+
+_PLANTED_SQL = """
+    WITH planted AS (
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> embedding[i] * (1.0 + 0.1 * ((i - 1) % 7) / 7.0)) AS embedding
+      FROM embeddings WHERE vec_id < 10
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM planted
+    )
+"""
+
+
+@query(
+    "b36_cosine_neardup_lsh",
+    oracle=f"""
+    {_PLANTED_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COSINE_EXPR} * 1000) / 1000 AS cos
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE {_COSINE_EXPR} >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    tags=("B36", "llm"),
+    doc="Sub-quadratic near-dup detection: banded sign-signature LSH "
+    "candidates (keyed equi-join on (band_idx, band_val)) + exact cosine "
+    "verify, threshold 0.9, over embeddings with 10 planted near-duplicates. "
+    "Positive scaling preserves sign signatures, so LSH recall is exactly 1 "
+    "and the brute-force DuckDB oracle agrees. The general-recall property "
+    "is asserted against brute force in tests/test_llm_ops.py.",
+)
+def b36_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_neardup_corpus(spark, sf_dir)
+    pairs = S.cosine_neardup_lsh(corpus, "vec_id", "embedding", threshold=0.9)
+    return pairs.select("id_a", "id_b", dround("cos", 3).alias("cos")).orderBy("id_a", "id_b")
 
 
 @query(

@@ -62,6 +62,47 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert hits >= len(exact) * 0.5, f"IVF recall too low: {hits}/{len(exact)}"
 
 
+def test_blocked_neardup_matches_bruteforce(spark, sf_dir):
+    """Exact block-GEMM all-pairs must equal the brute-force theta-join
+    (same pairs, cos within 1e-9) — the brute path is test-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.cosine_neardup_blocked(
+            emb, "vec_id", "embedding", threshold=0.4, n_blocks=5
+        ).collect()
+    }
+    assert brute, "fixture should contain pairs above 0.4"
+    assert set(brute) == set(blocked)
+    for k in brute:
+        assert abs(brute[k] - blocked[k]) < 1e-9, k
+
+
+def test_lsh_neardup_recall_vs_bruteforce(spark, sf_dir):
+    """Banded-LSH near-dup at a moderate threshold: candidates must recover
+    most brute-force pairs; every surviving pair must be genuine (precision 1
+    by construction — exact verify)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_neardup_lsh(
+            emb, "vec_id", "embedding", threshold=0.5, n_planes=64, band_bits=4
+        ).collect()
+    }
+    assert lsh <= brute, "exact verify must make precision 1"
+    if brute:
+        recall = len(brute & lsh) / len(brute)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8"
+
+
 def test_null_text_rows_are_skipped_not_fatal(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon"), (2, None), (3, "alpha beta gamma delta zeta")],

@@ -34,6 +34,15 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "top-k must not plan a global sort"
 
 
+def test_cosine_neardup_has_no_cartesian(spark, sf_dir):
+    """b36_cosine_neardup must plan a keyed shuffle (block-GEMM), never a
+    cartesian/nested-loop join (round-1 'What's wrong' #2)."""
+    for name in ("b36_cosine_neardup", "b36_cosine_neardup_lsh"):
+        plan = _formatted_plan(SPECS[name].build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_semi_anti_join_operators(spark, sf_dir):
     semi = _formatted_plan(SPECS["b07_semi_join"].build(spark, sf_dir))
     anti = _formatted_plan(SPECS["b07_anti_join"].build(spark, sf_dir))
