@@ -78,10 +78,27 @@ _DRIVER_GREEN_R01 = frozenset(
 )
 
 
+# Queries first registered in round 2 (absent from round 1's registry).  The
+# r01-unchecked + r01-red set fills the driver's 50-slot window exactly, so
+# brand-new queries sort AFTER it (they get their driver row in round 3)
+# rather than pushing an r01-unchecked query out of the window.
+_NEW_IN_R02 = frozenset(
+    {
+        "b36_cosine_neardup_lsh",
+    }
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules on first access so the registry is populated.
     from . import queries as _  # noqa: F401
 
-    unchecked = {k: v for k, v in _REGISTRY.items() if k not in _DRIVER_GREEN_R01}
-    checked = {k: v for k, v in _REGISTRY.items() if k in _DRIVER_GREEN_R01}
-    return {**unchecked, **checked}
+    def rank(name: str) -> int:
+        if name in _DRIVER_GREEN_R01:
+            return 2
+        if name in _NEW_IN_R02:
+            return 1
+        return 0
+
+    names = sorted(_REGISTRY, key=lambda n: (rank(n), list(_REGISTRY).index(n)))
+    return {n: _REGISTRY[n] for n in names}

@@ -52,8 +52,9 @@ def test_no_complex_result_columns(spark, sf_dir):
 def test_driver_window_covers_unchecked_queries():
     """all_queries() must order the round-1 driver-unchecked queries first so
     they fall inside the driver's 50-query CORRECTNESS window."""
-    from ps_datalake_spark.registry import _DRIVER_GREEN_R01
+    from ps_datalake_spark.registry import _DRIVER_GREEN_R01, _NEW_IN_R02
 
     names = list(SPECS)
-    first = names[: len(names) - len(_DRIVER_GREEN_R01 & set(names))]
-    assert not (set(first) & _DRIVER_GREEN_R01), "green r01 queries must sort last"
+    window = set(names[:50])
+    assert not (window & _DRIVER_GREEN_R01), "green r01 queries must sort last"
+    assert not (window & _NEW_IN_R02), "round-2 queries must not evict r01-unchecked ones"
