@@ -85,6 +85,7 @@ _DRIVER_GREEN_R01 = frozenset(
 _NEW_IN_R02 = frozenset(
     {
         "b36_cosine_neardup_lsh",
+        "b08_range_join_pairs",
     }
 )
 

@@ -43,6 +43,18 @@ def test_cosine_neardup_has_no_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_range_join_plans(spark, sf_dir):
+    """b08_range_join aggregates via a RANGE-frame window (no join node);
+    the pair-producing variant joins on the (user_id, bin) equi-key, never a
+    nested loop."""
+    agg_plan = _formatted_plan(SPECS["b08_range_join"].build(spark, sf_dir))
+    assert "Join" not in agg_plan
+    assert "Window" in agg_plan
+    pairs_plan = _formatted_plan(SPECS["b08_range_join_pairs"].build(spark, sf_dir))
+    assert "CartesianProduct" not in pairs_plan
+    assert "BroadcastNestedLoopJoin" not in pairs_plan
+
+
 def test_semi_anti_join_operators(spark, sf_dir):
     semi = _formatted_plan(SPECS["b07_semi_join"].build(spark, sf_dir))
     anti = _formatted_plan(SPECS["b07_anti_join"].build(spark, sf_dir))
