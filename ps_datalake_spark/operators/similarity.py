@@ -324,12 +324,27 @@ def ivf_topk(
                         out["vsum"].append(Xn[assign == c].sum(axis=0).tolist())
                     yield pd.DataFrame(out)
 
-            parts = base.mapInPandas(_partials, "cell int, n long, vsum array<double>").collect()
+            # JVM-side partial reduce: posexplode the per-batch partial sums
+            # and hash-aggregate per (cell, dim) so the driver collects one
+            # already-reduced n_clusters x dim table (not O(batches) rows).
+            # Each source row repeats n across its dims; counting it at dim 0
+            # only yields the per-cell row count in the same aggregation.
+            parts = base.mapInPandas(_partials, "cell int, n long, vsum array<double>")
+            reduced = (
+                parts.select("cell", "n", F.posexplode("vsum").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(
+                    F.sum("val").alias("s"),
+                    F.sum(F.when(F.col("pos") == 0, F.col("n")).otherwise(0)).alias("cnt0"),
+                )
+                .collect()
+            )
             sums = np.zeros_like(C)
             counts = np.zeros(n_clusters)
-            for r in parts:
-                sums[r["cell"]] += np.asarray(r["vsum"])
-                counts[r["cell"]] += r["n"]
+            for r in reduced:
+                sums[r["cell"], r["pos"]] = r["s"]
+                if r["pos"] == 0:
+                    counts[r["cell"]] = r["cnt0"]
             nonzero = counts > 0
             C[nonzero] = sums[nonzero] / counts[nonzero, None]
             C = C / np.linalg.norm(C, axis=1, keepdims=True)

@@ -421,14 +421,13 @@ def b37_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     out = idf_model.transform(tf)
 
-    @F.udf("double")
-    def vnorm(v):
-        return float(v.norm(2))
+    # JVM-side norm: vector_to_array + aggregate(x*x) + sqrt — no
+    # BatchEvalPython in the plan (asserted in tests/test_plans.py)
+    from pyspark.ml.functions import vector_to_array
 
-    return (
-        out.select("doc_id", dround(vnorm(F.col("tfidf")), 4).alias("tfidf_norm"))
-        .orderBy("doc_id")
-    )
+    arr = vector_to_array(F.col("tfidf"))
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
+    return out.select("doc_id", dround(norm, 4).alias("tfidf_norm")).orderBy("doc_id")
 
 
 @query(

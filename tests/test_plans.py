@@ -55,6 +55,13 @@ def test_range_join_plans(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in pairs_plan
 
 
+def test_tfidf_ml_stays_jvm_side(spark, sf_dir):
+    """b37_tfidf_ml's vector norm must be a JVM expression (vector_to_array +
+    aggregate), not a row-at-a-time Python UDF (round-1 'What's wrong' #3)."""
+    plan = _formatted_plan(SPECS["b37_tfidf_ml"].build(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+
+
 def test_semi_anti_join_operators(spark, sf_dir):
     semi = _formatted_plan(SPECS["b07_semi_join"].build(spark, sf_dir))
     anti = _formatted_plan(SPECS["b07_anti_join"].build(spark, sf_dir))
