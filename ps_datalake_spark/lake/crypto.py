@@ -31,8 +31,15 @@ def convergent_key(plaintext: bytes) -> bytes:
     return hashlib.sha256(plaintext).digest()
 
 
+KNOWN_CIPHERS = ("aes-gcm-siv", "blake2b-ctr")
+
+
 def cipher_name() -> str:
     return "aes-gcm-siv" if _HAVE_AES else "blake2b-ctr"
+
+
+def cipher_available(cipher: str) -> bool:
+    return cipher == "blake2b-ctr" or (cipher == "aes-gcm-siv" and _HAVE_AES)
 
 
 def _keystream_xor(key: bytes, data: bytes) -> bytes:
@@ -47,13 +54,50 @@ def _keystream_xor(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def encrypt(plaintext: bytes, key: bytes) -> bytes:
-    if _HAVE_AES:
+def _require(cipher: str) -> None:
+    from ..errors import Corrupted
+
+    if cipher not in KNOWN_CIPHERS:
+        raise Corrupted(f"unknown chunk cipher {cipher!r}")
+    if not cipher_available(cipher):
+        raise Corrupted(
+            f"chunk encrypted with {cipher!r} but that cipher is unavailable "
+            "in this environment (install 'cryptography' for aes-gcm-siv)"
+        )
+
+
+def encrypt_as(cipher: str, plaintext: bytes, key: bytes) -> bytes:
+    """Encrypt under an explicitly-named cipher (raises Corrupted if it is
+    unknown or unavailable here)."""
+    _require(cipher)
+    if cipher == "aes-gcm-siv":
         return AESGCMSIV(key).encrypt(_NONCE, plaintext, None)
     return _keystream_xor(key, plaintext)
 
 
-def decrypt(ciphertext: bytes, key: bytes) -> bytes:
-    if _HAVE_AES:
-        return AESGCMSIV(key).decrypt(_NONCE, ciphertext, None)
+def decrypt_as(cipher: str, ciphertext: bytes, key: bytes) -> bytes:
+    """Decrypt branching on the cipher RECORDED with the chunk — never on
+    what this environment would pick for writes.  XOR-decrypting an AES
+    ciphertext with the blake2b keystream would silently return garbage (the
+    fallback is unauthenticated); the recorded name makes the mismatch a
+    loud Corrupted instead."""
+    _require(cipher)
+    if cipher == "aes-gcm-siv":
+        try:
+            return AESGCMSIV(key).decrypt(_NONCE, ciphertext, None)
+        except Exception as e:  # InvalidTag and friends → uniform Corrupted
+            from ..errors import Corrupted
+
+            raise Corrupted(f"AEAD authentication failed: {e!r}") from e
     return _keystream_xor(key, ciphertext)
+
+
+def encrypt(plaintext: bytes, key: bytes) -> bytes:
+    """Encrypt with this environment's preferred cipher (cipher_name())."""
+    return encrypt_as(cipher_name(), plaintext, key)
+
+
+def decrypt(ciphertext: bytes, key: bytes) -> bytes:
+    """Decrypt assuming this environment's preferred cipher.  Prefer
+    decrypt_as(recorded_cipher, ...) wherever the cipher is recorded."""
+    return decrypt_as(cipher_name(), ciphertext, key)

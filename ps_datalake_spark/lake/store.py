@@ -208,6 +208,17 @@ class Store:
         prefix_len = manifest.get("prefix_len")
         if not isinstance(prefix_len, int) or not (1 <= prefix_len <= 8):
             raise Corrupted(f"invalid prefix_len: {prefix_len!r}")
+        cipher = manifest.get("cipher")
+        if cipher not in crypto.KNOWN_CIPHERS:
+            raise Corrupted(f"unknown store cipher: {cipher!r}")
+        if not crypto.cipher_available(cipher):
+            # fail fast: the store's chunks are (overwhelmingly) this cipher,
+            # so every get would raise — surface the environment problem at
+            # open time instead of per-read
+            raise Corrupted(
+                f"store cipher {cipher!r} unavailable in this environment "
+                "(install 'cryptography' for aes-gcm-siv)"
+            )
         store = cls(spark, path, readonly=readonly, manifest=manifest)
         # schema check must read the ACTUAL file footers (chunks() imposes the
         # expected schema on read, which would make this check vacuous)
@@ -305,8 +316,13 @@ class Store:
             hkey_parts.append(
                 src.where(F.col("_sz") <= MAX_SIZE_RAW).select(
                     "id",
+                    # translate() also strips the \r\n that Spark 3.3-3.5's
+                    # RFC-2045 MIME-chunked base64() inserts every 76 chars
+                    # (payloads > 57 bytes) — keeps raw hkeys byte-identical
+                    # to Hkey.encode's Python base64 on any Spark version
                     F.concat(
-                        F.lit("raw:"), F.translate(F.base64("data"), "+/", "-_")
+                        F.lit("raw:"),
+                        F.translate(F.base64("data"), "+/\r\n", "-_"),
                     ).alias("hkey"),
                 )
             )
@@ -472,7 +488,7 @@ class Store:
             return bytes(self._chunk_row(hk.hash)["data"])
         if hk.kind == "enc":
             row = self._chunk_row(hk.hash)
-            return crypto.decrypt(bytes(row["data"]), bytes.fromhex(hk.key))
+            return crypto.decrypt_as(row["enc"], bytes(row["data"]), bytes.fromhex(hk.key))
         # tree: manifest rows → children → decrypt → ordered concat (A13 read)
         kids = (
             self.manifests()
@@ -497,7 +513,7 @@ class Store:
                 raise NotFound(k["child_hash"])
             data = bytes(r["data"])
             if k["child_enc"] != "plain":
-                data = crypto.decrypt(data, bytes.fromhex(k["child_key"]))
+                data = crypto.decrypt_as(k["child_enc"], data, bytes.fromhex(k["child_key"]))
             parts.append(data)
         blob = b"".join(parts)
         if len(blob) != hk.size:
@@ -545,7 +561,7 @@ class Store:
                     elif enc == "plain" or key is None:
                         datas.append(bytes(stored))
                     else:
-                        datas.append(crypto.decrypt(bytes(stored), bytes.fromhex(key)))
+                        datas.append(crypto.decrypt_as(enc, bytes(stored), bytes.fromhex(key)))
                 yield pd.DataFrame({"id": pdf["id"], "data": datas})
 
         single = (
@@ -587,7 +603,7 @@ class Store:
                         else (
                             bytes(stored)
                             if enc == "plain" or key is None
-                            else crypto.decrypt(bytes(stored), bytes.fromhex(key))
+                            else crypto.decrypt_as(enc, bytes(stored), bytes.fromhex(key))
                         )
                         for stored, enc, key in zip(pdf["stored"], pdf["enc"], pdf["key"])
                     ]
@@ -680,8 +696,13 @@ class Store:
         import hashlib as _hl
 
         sentinel_plain = SENTINEL + b"\0" * MAX_SIZE_RAW
+        # the sentinel was written at create time under the cipher recorded in
+        # the manifest; recomputing with the current environment's cipher
+        # would mis-hash it and garbage-collect the reference page-0 analog
         sentinel_hash = _hl.sha256(
-            crypto.encrypt(sentinel_plain, crypto.convergent_key(sentinel_plain))
+            crypto.encrypt_as(
+                self.manifest["cipher"], sentinel_plain, crypto.convergent_key(sentinel_plain)
+            )
         ).hexdigest()
         sentinel = self.spark.createDataFrame([(sentinel_hash,)], "hash string")
         live = direct.unionByName(tree_kids).unionByName(sentinel).distinct()

@@ -53,23 +53,35 @@ def _ship_package(spark: SparkSession) -> None:
     app_id = spark.sparkContext.applicationId
     if app_id in _SHIPPED:
         return
+    import hashlib
     import os
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"ps_datalake_spark_{os.path.basename(pkg_dir)}.zip"
-    )
+    # collect sources deterministically and key the zip by their content hash:
+    # a name-keyed cache would keep shipping a stale zip after source edits,
+    # silently diverging worker code from driver code in every UDF path
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                sources.append((rel, full))
+    sources.sort()
+    h = hashlib.sha256()
+    for rel, full in sources:
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
+    zip_path = os.path.join(tempfile.gettempdir(), f"ps_datalake_spark_{digest}.zip")
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path + ".tmp", "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
-        os.replace(zip_path + ".tmp", zip_path)
+        with zipfile.ZipFile(zip_path + f".tmp{os.getpid()}", "w") as z:
+            for rel, full in sources:
+                z.write(full, rel)
+        os.replace(zip_path + f".tmp{os.getpid()}", zip_path)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(app_id)
 

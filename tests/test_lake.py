@@ -164,6 +164,40 @@ def test_config_roundtrip():
     assert LakeConfig.from_toml_str(cfg.to_toml_string()) == cfg
 
 
+def test_decrypt_branches_on_recorded_cipher():
+    """Readers must decrypt with the cipher RECORDED for the chunk, never the
+    environment default (ADVICE: blake2b store read where 'cryptography' is
+    installed previously failed or silently returned garbage)."""
+    p = _blob(5_000)
+    k = crypto.convergent_key(p)
+    c_blake = crypto.encrypt_as("blake2b-ctr", p, k)
+    # blake2b-written chunk reads fine regardless of environment default
+    assert crypto.decrypt_as("blake2b-ctr", c_blake, k) == p
+    if crypto.cipher_available("aes-gcm-siv"):
+        c_aes = crypto.encrypt_as("aes-gcm-siv", p, k)
+        assert crypto.decrypt_as("aes-gcm-siv", c_aes, k) == p
+        assert c_aes != c_blake
+        # cross-cipher decryption is a loud Corrupted, not silent garbage
+        with pytest.raises(Corrupted):
+            crypto.decrypt_as("aes-gcm-siv", c_blake, k)
+        assert crypto.decrypt_as("blake2b-ctr", c_aes, k) != p  # unauthenticated XOR
+    with pytest.raises(Corrupted):
+        crypto.decrypt_as("rot13", b"x", k)
+
+
+def test_open_rejects_unknown_cipher(spark, tmp_path):
+    path = str(tmp_path / "weird-cipher")
+    Store.create(spark, path, prefix_len=1)
+    mf = os.path.join(path, "manifest.json")
+    with open(mf) as f:
+        manifest = json.load(f)
+    manifest["cipher"] = "rot13"
+    with open(mf, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(Corrupted):
+        Store.open(spark, path)
+
+
 def test_convergent_encryption_properties():
     p = _blob(10_000)
     k = crypto.convergent_key(p)
