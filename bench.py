@@ -46,6 +46,74 @@ HEADLINE = [
 ]
 
 
+# Scale probe: the five LLM headline queries re-run on a synthetic 10x
+# documents/embeddings corpus (10 disjoint sf-sized sub-corpora: per-copy
+# token salting keeps cross-copy shingle overlap ~0, so posting-list work
+# scales ~10x, not 100x). Ratios vs DuckDB should FALL as data grows —
+# empirical evidence that the >2x small-scale ratios are Spark's fixed
+# scheduling/codegen floor, not plan defects.
+SCALE_FACTOR = 10
+SCALE_QUERIES = [
+    "b34_exact_dedup",
+    "b35_minhash_lsh",
+    "b36_cosine_topk",
+    "b37_token_stats",
+    "b42_llm_pipeline",
+]
+SCALE_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _build_scaled_dir(sf_dir: str) -> str:
+    """Materialize the 10x corpus once (cached in /tmp across runs)."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        tempfile.gettempdir(), "ps_datalake_spark_scratch", f"scale{SCALE_FACTOR}_{tag}"
+    )
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + copy * 10000000 AS doc_id,
+                 replace(text, ' ', ' c' || copy || ' ') AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{sf_dir}/documents.parquet'), range({SCALE_FACTOR}) r(copy)
+        ) TO '{out}/documents.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + copy * 10000000 AS vec_id, embedding, label
+          FROM read_parquet('{sf_dir}/embeddings.parquet'), range({SCALE_FACTOR}) r(copy)
+        ) TO '{out}/embeddings.parquet' (FORMAT parquet)
+        """
+    )
+    con.close()
+    for t in SCALE_TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            try:
+                os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+            except OSError:
+                shutil.copy2(os.path.join(sf_dir, f"{t}.parquet"), dst)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
 def _force(df) -> int:
     """Execute the full plan without sink overhead (noop writer keeps every
     operator, unlike count() which lets Catalyst prune)."""
@@ -98,6 +166,34 @@ def main() -> None:
     except Exception:
         pass
 
+    # ---- 10x scale probe (LLM headline queries) ----------------------------
+    scale_times: dict[str, float] = {}
+    scale_duck: dict[str, float] = {}
+    try:
+        scaled_dir = _build_scaled_dir(SF_DIR)
+        for name in SCALE_QUERIES:
+            _force(specs[name].build(spark, scaled_dir))  # warmup
+            t0 = time.perf_counter()
+            _force(specs[name].build(spark, scaled_dir))
+            scale_times[name] = round(time.perf_counter() - t0, 3)
+        import duckdb
+
+        con = duckdb.connect()
+        for t in SCALE_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{scaled_dir}/{t}.parquet')"
+            )
+        for name in SCALE_QUERIES:
+            spec = specs[name]
+            if spec.oracle is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            scale_duck[name] = round(time.perf_counter() - t0, 3)
+        con.close()
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -107,6 +203,11 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "duckdb": duck_times,
+                "scale10": {
+                    "factor": SCALE_FACTOR,
+                    "queries": scale_times,
+                    "duckdb": scale_duck,
+                },
             }
         )
     )

@@ -307,6 +307,86 @@ def b32_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b32_late_data",
+    oracle="""
+    SELECT TIMESTAMP '2024-01-01 11:00:00' AS ws,
+           CAST(2 AS BIGINT) AS cnt,
+           round(3.0, 2) AS sv
+    """,
+    tags=("B32", "streaming"),
+    doc="Watermark late-data semantics, end to end: two availableNow runs "
+    "share a checkpoint; run 1 advances the persisted watermark to 11:50, "
+    "run 2 delivers one on-time row (12:05) and one LATE row (11:01, behind "
+    "the watermark). The oracle encodes the post-watermark drop: the 11:00 "
+    "window closes with ONLY its two on-time rows (never the late 99.0), "
+    "and still-open windows stay unemitted in append mode. File sink + "
+    "checkpoint because the memory sink cannot resume a checkpoint.",
+)
+def b32_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..session import configure
+    from ._util import scratch_dir
+
+    configure(spark)
+    base = scratch_dir(f"late_data_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(base, "src")
+    cp = os.path.join(base, "cp")
+    out_dir = os.path.join(base, "out")
+    os.makedirs(src_dir, exist_ok=True)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(i, ts, u, v) for i, ts, u, v in rows], "event_id long, ts string, user_id long, value double"
+        ).select(
+            "event_id", F.to_timestamp("ts").alias("ts"), "user_id", "value"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            .select(F.col("w.start").alias("ws"), "cnt", "sv")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch(
+        [
+            (1, "2024-01-01 11:00:00", 1, 1.0),
+            (2, "2024-01-01 11:04:00", 1, 2.0),
+            (3, "2024-01-01 12:00:00", 2, 3.0),
+        ]
+    )
+    run_once()
+    write_batch(
+        [
+            (4, "2024-01-01 12:05:00", 1, 10.0),
+            (5, "2024-01-01 11:01:00", 1, 99.0),  # behind the 11:50 watermark
+        ]
+    )
+    run_once()
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            F.col("ws").cast("timestamp_ntz").alias("ws"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            dround("sv", 2).alias("sv"),
+        )
+        .orderBy("ws")
+        .localCheckpoint(eager=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # B33 — stateful streaming aggregation, output modes
 # ---------------------------------------------------------------------------

@@ -693,6 +693,43 @@ def b39_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b39_resize_edges",
+    oracle="""
+    WITH src AS (
+      SELECT i AS id, 2*i - 1 AS w, 128 AS h FROM generate_series(1, 64) t(i)
+      UNION ALL
+      SELECT 100 + i, 256, 2*i - 1 FROM generate_series(1, 64) t(i)
+    )
+    SELECT id,
+           greatest(1, CAST(floor(w * (64.0 / greatest(w, h)) + 0.5) AS BIGINT)) AS width,
+           greatest(1, CAST(floor(h * (64.0 / greatest(w, h)) + 0.5) AS BIGINT)) AS height,
+           round(64.0 / greatest(w, h), 6) AS scale
+    FROM src ORDER BY id
+    """,
+    tags=("B39", "llm", "multimodal"),
+    doc="resize_stub rounding-edge oracle: odd dimensions under binary-exact "
+    "scales 0.5 and 0.25 make every product land exactly on a .5/.25 "
+    "boundary, pinning floor(x+0.5) half-up semantics (banker's rounding "
+    "would diverge on 2.5 -> 2) and the >=1 clip on sub-pixel results.",
+)
+def b39_resize_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = spark.range(1, 65)
+    wide = r.select(
+        F.col("id"), (F.col("id") * 2 - 1).alias("width"), F.lit(128).cast("long").alias("height")
+    )
+    tall = r.select(
+        (F.col("id") + 100).alias("id"),
+        F.lit(256).cast("long").alias("width"),
+        (F.col("id") * 2 - 1).alias("height"),
+    )
+    decoded = wide.unionByName(tall).withColumn("content_sha", F.col("id").cast("string"))
+    resized = M.resize_stub(decoded, target=64)
+    return resized.select(
+        "id", "width", "height", dround("scale", 6).alias("scale")
+    ).orderBy("id")
+
+
+@query(
     "b39_frame_sample",
     oracle=None,  # xxhash64 sampling not reproducible in DuckDB
     tags=("B39", "llm", "multimodal"),

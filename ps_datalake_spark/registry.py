@@ -86,6 +86,8 @@ _NEW_IN_R02 = frozenset(
     {
         "b36_cosine_neardup_lsh",
         "b08_range_join_pairs",
+        "b32_late_data",
+        "b39_resize_edges",
     }
 )
 
