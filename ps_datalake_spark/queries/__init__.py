@@ -14,4 +14,5 @@ from . import sql_surface  # noqa: F401
 from . import semi_structured  # noqa: F401
 from . import event_windows  # noqa: F401
 from . import llm_ops  # noqa: F401
+from . import pipeline_ext  # noqa: F401
 from . import lake_ops  # noqa: F401

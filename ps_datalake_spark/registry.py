@@ -88,6 +88,9 @@ _NEW_IN_R02 = frozenset(
         "b08_range_join_pairs",
         "b32_late_data",
         "b39_resize_edges",
+        "b47_contamination",
+        "b47_pii_scrub",
+        "b47_repetition",
     }
 )
 
