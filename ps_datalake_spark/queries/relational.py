@@ -141,6 +141,82 @@ def b02_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b01_orc_roundtrip",
+    oracle="""
+    SELECT count(*) AS cnt,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_regions
+    FROM nation
+    """,
+    tags=("B1",),
+    doc="ORC source/sink roundtrip: nation written as ORC, read back, "
+    "re-aggregated — third columnar format beside parquet and csv/json.",
+)
+def b01_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("orc_roundtrip")
+    T(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.countDistinct("n_regionkey").cast("bigint").alias("n_regions"),
+    )
+
+
+def _bucketed_join_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer with BOTH sides bucketed on the join key (8 buckets):
+    the bucketed scans already satisfy the join's distribution, so the plan
+    has no shuffle exchange feeding the sort-merge join (asserted in
+    tests/test_plans.py). This is the canonical 100 TB co-located-join
+    layout — pay the shuffle once at write time, never again per query."""
+    from ._util import scratch_dir as _sd
+
+    wh = _sd("bucketed_warehouse")
+    for tbl, src, key in (
+        ("b48_orders", "orders", "o_custkey"),
+        ("b48_customer", "customer", "c_custkey"),
+    ):
+        df = T(spark, sf_dir, src)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{wh}/{tbl}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    o = spark.table("b48_orders").select("o_custkey", "o_totalprice")
+    c = spark.table("b48_customer").select("c_custkey", "c_mktsegment")
+    return o.join(c, o.o_custkey == c.c_custkey)
+
+
+@query(
+    "b48_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("B2", "B5"),
+    doc="Shuffle-free co-located join over bucketed tables: orders and "
+    "customer both written bucketBy(8, custkey) + sortBy, joined without an "
+    "exchange on either side (plan-asserted), then aggregated per segment.",
+)
+def b48_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = _bucketed_join_tables(spark, sf_dir)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # B3 / B4 — projection + filters
 # ---------------------------------------------------------------------------

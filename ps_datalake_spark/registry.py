@@ -91,6 +91,8 @@ _NEW_IN_R02 = frozenset(
         "b47_contamination",
         "b47_pii_scrub",
         "b47_repetition",
+        "b01_orc_roundtrip",
+        "b48_bucketed_join",
     }
 )
 

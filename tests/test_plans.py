@@ -55,6 +55,23 @@ def test_range_join_plans(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in pairs_plan
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both join sides are bucketed on the join key, so the sort-merge join
+    must consume the bucketed distribution directly — no hash-partitioning
+    exchange anywhere in the join subtree (broadcast disabled to force the
+    merge path)."""
+    from ps_datalake_spark.queries.relational import _bucketed_join_tables
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _formatted_plan(_bucketed_join_tables(spark, sf_dir))
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_tfidf_ml_stays_jvm_side(spark, sf_dir):
     """b37_tfidf_ml's vector norm must be a JVM expression (vector_to_array +
     aggregate), not a row-at-a-time Python UDF (round-1 'What's wrong' #3)."""
