@@ -217,6 +217,47 @@ def b48_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b48_salted_skew_join",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE user_id END AS k, value
+      FROM events
+    ),
+    dim AS (SELECT DISTINCT k, k % 10 AS cohort FROM ev)
+    SELECT cohort,
+           count(*) AS cnt,
+           round(sum(ev.value), 2) AS sum_val
+    FROM ev JOIN dim USING (k)
+    GROUP BY cohort ORDER BY cohort
+    """,
+    tags=("B5", "skew"),
+    doc="Salted join under synthetic skew: half of all events are remapped "
+    "to one pathological user, then joined to a dimension through "
+    "operators/partitioning.salted_join — the hot key spreads over 8 "
+    "(key, salt) subkeys so no single shuffle partition becomes the "
+    "straggler; the dimension replicates 8x (explode) to meet every salt. "
+    "Salting affects only partitioning, so the plain-join oracle matches "
+    "exactly.",
+)
+def b48_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import salted_join
+
+    ev = T(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    dim = ev.select("k").distinct().withColumn("cohort", F.col("k") % 10)
+    joined = salted_join(ev, dim, on="k", salt=8)
+    return (
+        joined.groupBy("cohort")
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_val"))
+        .orderBy("cohort")
+    )
+
+
 # ---------------------------------------------------------------------------
 # B3 / B4 — projection + filters
 # ---------------------------------------------------------------------------

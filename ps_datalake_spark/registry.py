@@ -93,6 +93,7 @@ _NEW_IN_R02 = frozenset(
         "b47_repetition",
         "b01_orc_roundtrip",
         "b48_bucketed_join",
+        "b48_salted_skew_join",
     }
 )
 
