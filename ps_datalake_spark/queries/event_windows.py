@@ -387,6 +387,60 @@ def b32_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b32_stream_stream_join",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT count(*) AS pair_cnt,
+           CAST(count(DISTINCT v.user_id) AS BIGINT) AS users,
+           CAST(sum(v.event_id + p.event_id) AS BIGINT) AS id_checksum
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 10 MINUTE
+    """,
+    tags=("B32", "streaming"),
+    doc="Stream-stream interval join (the attribution join): views and "
+    "purchases read as two watermarked streams, inner-joined per user within "
+    "10 minutes, append mode. An availableNow pass emits exactly the matched "
+    "pairs (watermarks bound state, not inner-join emission), so the batch "
+    "join oracle matches. State is bounded by watermark-horizon x key "
+    "cardinality at scale.",
+)
+def b32_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    mem = _run_to_memory(joined, "append")
+    return mem.agg(
+        F.count("*").alias("pair_cnt"),
+        F.countDistinct("user_id").alias("users"),
+        F.sum(F.col("v_id") + F.col("p_id")).cast("bigint").alias("id_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B33 — stateful streaming aggregation, output modes
 # ---------------------------------------------------------------------------

@@ -94,6 +94,7 @@ _NEW_IN_R02 = frozenset(
         "b01_orc_roundtrip",
         "b48_bucketed_join",
         "b48_salted_skew_join",
+        "b32_stream_stream_join",
     }
 )
 
