@@ -148,3 +148,67 @@ def b24_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "per_unit"
         ),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "b49_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      -- price bump on every 4th order + 100 brand-new synthetic orders
+      SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS o_totalprice, 'updated' AS src
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT 900000000 + i, CAST(100 + i AS DOUBLE), 'inserted'
+      FROM generate_series(1, 100) t(i)
+    ),
+    merged AS (
+      SELECT o_orderkey, o_totalprice, src FROM updates
+      UNION ALL
+      SELECT o.o_orderkey, round(o.o_totalprice, 2), 'kept'
+      FROM orders o ANTI JOIN updates u ON o.o_orderkey = u.o_orderkey
+    )
+    SELECT src,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY src ORDER BY src
+    """,
+    tags=("B49", "lake"),
+    doc="MERGE/upsert as a composition: updates win via anti-join on the key, "
+    "inserts append, untouched rows pass through — the copy-on-write merge "
+    "shape. At 100 TB the anti-join prunes to partitions containing touched "
+    "keys (same hash_prefix layout as the chunk store) so the rewrite is "
+    "proportional to the delta, not the table.",
+)
+def b49_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bumped = orders.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        dround(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit("updated").alias("src"),
+    )
+    inserts = (
+        orders.sparkSession.range(1, 101)
+        .select(
+            (F.col("id") + 900000000).alias("o_orderkey"),
+            (F.col("id") + 100).cast("double").alias("o_totalprice"),
+            F.lit("inserted").alias("src"),
+        )
+    )
+    updates = bumped.unionByName(inserts)
+    kept = (
+        orders.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select(
+            "o_orderkey",
+            dround("o_totalprice", 2).alias("o_totalprice"),
+            F.lit("kept").alias("src"),
+        )
+    )
+    merged = updates.unionByName(kept)
+    return (
+        merged.groupBy("src")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("src")
+    )
