@@ -472,6 +472,39 @@ def b33_stateful_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b33_custom_stateful",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("B33", "streaming"),
+    doc="Custom stateful operator via applyInPandasWithState: one explicit "
+    "(count, sum) state row per user maintained across microbatches "
+    "(streaming/stateful.py running_user_stats). The final per-user state is "
+    "taken with max() so the result is batch-split-independent and matches "
+    "the batch aggregation oracle exactly.",
+)
+def b33_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import running_user_stats
+
+    stream = _events_stream(spark, sf_dir)
+    stats = running_user_stats(stream)
+    mem = _run_to_memory(stats, "update")
+    # n_events strictly increases per emission, so the struct max picks each
+    # user's FINAL state row whatever the microbatch split was
+    final = mem.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").cast("bigint").alias("n_events"),
+        dround(F.col("s.total_value"), 2).alias("total_value"),
+    ).orderBy("user_id")
+
+
+@query(
     "b33_update_mode_stream",
     oracle=None,  # update-mode emission counts depend on microbatch split → rows-only
     tags=("B33", "streaming"),

@@ -96,6 +96,7 @@ _NEW_IN_R02 = frozenset(
         "b48_salted_skew_join",
         "b32_stream_stream_join",
         "b49_merge_upsert",
+        "b33_custom_stateful",
     }
 )
 
