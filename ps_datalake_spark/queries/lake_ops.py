@@ -166,3 +166,51 @@ def b38_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_mismatch"),
     )
+
+
+@query(
+    "b38_compact_vacuum",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, sha256(text) AS h, octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT CAST((SELECT count(DISTINCT h) FROM d WHERE n > {_RAW_MAX}) + 1 AS BIGINT)
+             AS n_chunks_after_compact,
+           CAST((SELECT count(DISTINCT h) FROM d WHERE n > {_RAW_MAX} AND doc_id % 2 = 0) + 1
+                AS BIGINT) AS n_chunks_after_vacuum,
+           true AS roundtrip_ok
+    FROM (SELECT 1)
+    """,
+    tags=("B38", "lake"),
+    doc="Maintenance ops end-to-end: put all documents, compact (size-"
+    "targeted partition rewrite — chunk count must be unchanged), then "
+    "vacuum with only the even-doc hkeys as roots (mark-and-sweep GC must "
+    "keep exactly the reachable chunks + sentinel) and prove a surviving "
+    "blob still round-trips byte-identically. Fresh store per invocation "
+    "because vacuum mutates reachability.",
+)
+def b38_compact_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _fresh_store(spark, "q_store_maint")
+    blobs = _doc_blobs(spark, sf_dir)
+    hkeys = store.put_blobs(blobs).persist()
+    hkeys.count()
+    store.compact(target_file_bytes=1 << 20)
+    n_after_compact = store.chunks().count()
+
+    roots = hkeys.where(F.col("id") % 2 == 0)
+    store.vacuum(roots.select("hkey"))
+    n_after_vacuum = store.chunks().count()
+
+    # a kept blob must still read back byte-identically post-compact+vacuum
+    sample = roots.where(~F.col("hkey").startswith("raw:")).orderBy("id").head(1)
+    ok = True
+    if sample:
+        sid = sample[0]["id"]
+        want = bytes(
+            blobs.where(F.col("id") == sid).head(1)[0]["data"]
+        )
+        ok = store.get(sample[0]["hkey"]) == want
+    hkeys.unpersist()
+    return spark.createDataFrame(
+        [(n_after_compact, n_after_vacuum, ok)],
+        "n_chunks_after_compact bigint, n_chunks_after_vacuum bigint, roundtrip_ok boolean",
+    )

@@ -97,6 +97,7 @@ _NEW_IN_R02 = frozenset(
         "b32_stream_stream_join",
         "b49_merge_upsert",
         "b33_custom_stateful",
+        "b38_compact_vacuum",
     }
 )
 
