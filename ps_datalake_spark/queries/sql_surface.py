@@ -64,3 +64,27 @@ def b40_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b40_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("orders", "lineitem", "customer"))
     return spark.sql(_CORRELATED_SQL)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           count(*) AS cnt,
+           round(sum(l_quantity) * 100) / 100 AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY rflag, lstatus
+    """
+
+
+@query(
+    "b40_sql_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    tags=("B13", "sql"),
+    doc="GROUPING SETS — the general form behind rollup/cube — as shared SQL "
+    "text executed by both engines (per-combination, per-flag, and grand "
+    "totals in one aggregation pass).",
+)
+def b40_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

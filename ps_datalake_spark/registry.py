@@ -98,6 +98,8 @@ _NEW_IN_R02 = frozenset(
         "b49_merge_upsert",
         "b33_custom_stateful",
         "b38_compact_vacuum",
+        "b40_sql_grouping_sets",
+        "b10_tpch_q10",
     }
 )
 
