@@ -183,3 +183,56 @@ def b10_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "b10_tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice * 100) / 100 AS totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("B5", "B7", "B10", "B18", "tpch"),
+    doc="TPC-H Q18 (large-volume customers): HAVING-filtered aggregate as a "
+    "semi-join against the fact table, re-aggregated per order, top-20 by "
+    "price. Quantity sums use exact decimal arithmetic on both sides.",
+)
+def b10_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            dround(F.col("o_totalprice"), 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )

@@ -100,6 +100,7 @@ _NEW_IN_R02 = frozenset(
         "b38_compact_vacuum",
         "b40_sql_grouping_sets",
         "b10_tpch_q10",
+        "b10_tpch_q18",
     }
 )
 
