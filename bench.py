@@ -73,8 +73,18 @@ def _build_scaled_dir(sf_dir: str) -> str:
     import duckdb
 
     tag = sf_dir.strip("/").replace("/", "_")
+    # include source-file identity in the cache key: a regenerated fixture
+    # must not silently reuse stale scaled data (name-keyed-cache bug class)
+    import hashlib as _hl
+
+    ident = _hl.sha256()
+    for t in ("documents", "embeddings"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        ident.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
     out = os.path.join(
-        tempfile.gettempdir(), "ps_datalake_spark_scratch", f"scale{SCALE_FACTOR}_{tag}"
+        tempfile.gettempdir(),
+        "ps_datalake_spark_scratch",
+        f"scale{SCALE_FACTOR}_{tag}_{ident.hexdigest()[:12]}",
     )
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):

@@ -81,30 +81,38 @@ _ENC_RESULT_SCHEMA = (
 )
 
 
-def _encrypt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: convergent-encrypt payloads, with the A12 guard
-    (store plaintext if the ciphertext expands beyond the AEAD allowance)."""
-    import hashlib
+def _encrypt_batches_for(cname: str):
+    """mapInPandas worker factory: convergent-encrypt payloads under the
+    STORE's manifest-recorded cipher (not the ambient environment's pick),
+    with the A12 guard (store plaintext if the ciphertext expands beyond the
+    AEAD allowance).  Writing with the environment default would break
+    convergent dedup the moment the environment's cipher changes: the same
+    plaintext would produce a different ciphertext and hence a different
+    chunk hash."""
 
-    cname = crypto.cipher_name()
-    for pdf in batches:
-        out = {"id": [], "hash": [], "size": [], "enc": [], "data": [], "key": [], "kind": []}
-        for blob_id, payload in zip(pdf["id"], pdf["data"]):
-            plain = bytes(payload)
-            key = crypto.convergent_key(plain)
-            cipher = crypto.encrypt(plain, key)
-            if len(cipher) > len(plain) + _AEAD_OVERHEAD:
-                stored, enc, key_hex, kind = plain, "plain", None, "plain"
-            else:
-                stored, enc, key_hex, kind = cipher, cname, key.hex(), "enc"
-            out["id"].append(blob_id)
-            out["hash"].append(hashlib.sha256(stored).hexdigest())
-            out["size"].append(len(plain))
-            out["enc"].append(enc)
-            out["data"].append(stored)
-            out["key"].append(key_hex)
-            out["kind"].append(kind)
-        yield pd.DataFrame(out)
+    def _encrypt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"id": [], "hash": [], "size": [], "enc": [], "data": [], "key": [], "kind": []}
+            for blob_id, payload in zip(pdf["id"], pdf["data"]):
+                plain = bytes(payload)
+                key = crypto.convergent_key(plain)
+                cipher = crypto.encrypt_as(cname, plain, key)
+                if len(cipher) > len(plain) + _AEAD_OVERHEAD:
+                    stored, enc, key_hex, kind = plain, "plain", None, "plain"
+                else:
+                    stored, enc, key_hex, kind = cipher, cname, key.hex(), "enc"
+                out["id"].append(blob_id)
+                out["hash"].append(hashlib.sha256(stored).hexdigest())
+                out["size"].append(len(plain))
+                out["enc"].append(enc)
+                out["data"].append(stored)
+                out["key"].append(key_hex)
+                out["kind"].append(kind)
+            yield pd.DataFrame(out)
+
+    return _encrypt_batches
 
 
 def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -164,11 +172,11 @@ class Store:
 
         plain = SENTINEL + b"\0" * MAX_SIZE_RAW
         key = crypto.convergent_key(plain)
-        cipher = crypto.encrypt(plain, key)
+        cipher = crypto.encrypt_as(manifest["cipher"], plain, key)
         row = (
             hashlib.sha256(cipher).hexdigest(),
             len(plain),
-            crypto.cipher_name(),
+            manifest["cipher"],
             bytearray(cipher),
         )
         spark.createDataFrame(
@@ -335,7 +343,7 @@ class Store:
             )
             mid_enc = (
                 mid.select("id", "data")
-                .mapInPandas(_encrypt_batches, _ENC_RESULT_SCHEMA)
+                .mapInPandas(_encrypt_batches_for(self.manifest["cipher"]), _ENC_RESULT_SCHEMA)
                 .persist()
             )
 
@@ -358,7 +366,7 @@ class Store:
                 .localCheckpoint(eager=True)
             )
             child_enc = pieces_enc.select("id", "data").mapInPandas(
-                _encrypt_batches, _ENC_RESULT_SCHEMA
+                _encrypt_batches_for(self.manifest["cipher"]), _ENC_RESULT_SCHEMA
             )
             children = pieces_enc.drop("data").join(child_enc, "id").drop("id").persist()
 

@@ -312,7 +312,7 @@ def b32_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT TIMESTAMP '2024-01-01 11:00:00' AS ws,
            CAST(2 AS BIGINT) AS cnt,
-           round(3.0, 2) AS sv
+           CAST(3.0 AS DOUBLE) AS sv
     """,
     tags=("B32", "streaming"),
     doc="Watermark late-data semantics, end to end: two availableNow runs "

@@ -192,24 +192,24 @@ def b38_compact_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _fresh_store(spark, "q_store_maint")
     blobs = _doc_blobs(spark, sf_dir)
     hkeys = store.put_blobs(blobs).persist()
-    hkeys.count()
-    store.compact(target_file_bytes=1 << 20)
-    n_after_compact = store.chunks().count()
+    try:
+        hkeys.count()
+        store.compact(target_file_bytes=1 << 20)
+        n_after_compact = store.chunks().count()
 
-    roots = hkeys.where(F.col("id") % 2 == 0)
-    store.vacuum(roots.select("hkey"))
-    n_after_vacuum = store.chunks().count()
+        roots = hkeys.where(F.col("id") % 2 == 0)
+        store.vacuum(roots.select("hkey"))
+        n_after_vacuum = store.chunks().count()
 
-    # a kept blob must still read back byte-identically post-compact+vacuum
-    sample = roots.where(~F.col("hkey").startswith("raw:")).orderBy("id").head(1)
-    ok = True
-    if sample:
-        sid = sample[0]["id"]
-        want = bytes(
-            blobs.where(F.col("id") == sid).head(1)[0]["data"]
-        )
-        ok = store.get(sample[0]["hkey"]) == want
-    hkeys.unpersist()
+        # a kept blob must still read back byte-identically post-compact+vacuum
+        sample = roots.where(~F.col("hkey").startswith("raw:")).orderBy("id").head(1)
+        ok = True
+        if sample:
+            sid = sample[0]["id"]
+            want = bytes(blobs.where(F.col("id") == sid).head(1)[0]["data"])
+            ok = store.get(sample[0]["hkey"]) == want
+    finally:
+        hkeys.unpersist()
     return spark.createDataFrame(
         [(n_after_compact, n_after_vacuum, ok)],
         "n_chunks_after_compact bigint, n_chunks_after_vacuum bigint, roundtrip_ok boolean",

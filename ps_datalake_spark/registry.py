@@ -116,5 +116,6 @@ def all_queries() -> dict[str, QuerySpec]:
             return 1
         return 0
 
-    names = sorted(_REGISTRY, key=lambda n: (rank(n), list(_REGISTRY).index(n)))
+    idx = {n: i for i, n in enumerate(_REGISTRY)}
+    names = sorted(_REGISTRY, key=lambda n: (rank(n), idx[n]))
     return {n: _REGISTRY[n] for n in names}
