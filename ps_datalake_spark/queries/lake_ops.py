@@ -214,3 +214,61 @@ def b38_compact_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_after_compact, n_after_vacuum, ok)],
         "n_chunks_after_compact bigint, n_chunks_after_vacuum bigint, roundtrip_ok boolean",
     )
+
+
+@query(
+    "b38_stream_ingest",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT CASE WHEN octet_length(encode(text)) > {_RAW_MAX}
+                THEN sha256(text) END) + 1 AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_ingested
+    FROM documents
+    """,
+    tags=("B38", "lake", "streaming"),
+    doc="Streaming ingestion into the content-addressed lake: documents read "
+    "as a stream, foreachBatch -> Store.put_blobs per microbatch, then the "
+    "SAME documents re-put in batch (simulated at-least-once redelivery). "
+    "Chunk count must equal distinct storable contents + sentinel — the "
+    "dedup anti-join turns at-least-once delivery into exactly-once storage.",
+)
+def b38_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..session import configure
+
+    configure(spark)
+    store = _fresh_store(spark, "q_store_stream_ingest")
+    # stage documents.parquet into a stream-source dir (file source needs a dir)
+    token = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = scratch_dir(f"docs_stream_{token}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(f"{sf_dir}/documents.parquet", link)
+        except OSError:
+            import shutil as _sh
+
+            _sh.copy2(f"{sf_dir}/documents.parquet", link)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(stage).select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("data")
+    )
+
+    def ingest(batch_df, batch_id):
+        store.put_blobs(batch_df).count()
+
+    cp = scratch_dir(f"docs_stream_cp_{token}_{os.getpid()}")
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_ingested = store.put_blobs(_doc_blobs(spark, sf_dir)).count()  # redelivery
+    n_chunks = store.chunks().count()
+    return spark.createDataFrame(
+        [(n_chunks, n_ingested)], "n_chunks bigint, n_ingested bigint"
+    )

@@ -101,6 +101,7 @@ _NEW_IN_R02 = frozenset(
         "b40_sql_grouping_sets",
         "b10_tpch_q10",
         "b10_tpch_q18",
+        "b38_stream_ingest",
     }
 )
 
