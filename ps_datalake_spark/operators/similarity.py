@@ -133,9 +133,22 @@ def cosine_neardup_blocked(
     memory; replication cost n*n_blocks is the standard exact-all-pairs
     trade.  For genuine near-dup thresholds (>= ~0.8) prefer
     :func:`cosine_neardup_lsh`, which is sub-quadratic.
+
+    ``id_col`` must be an integral type: the output schema is
+    ``id_a long, id_b long`` and pair canonicalisation uses numeric
+    min/max over the id domain.  String/decimal ids raise up front rather
+    than coercing silently (ADVICE r2).
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as SqlT
+
+    id_type = emb.schema[id_col].dataType
+    if not isinstance(id_type, (SqlT.ByteType, SqlT.ShortType, SqlT.IntegerType, SqlT.LongType)):
+        raise TypeError(
+            f"cosine_neardup_blocked requires an integral id column; "
+            f"{id_col!r} is {id_type.simpleString()} (hash it to BIGINT first)"
+        )
 
     base = emb.select(
         F.col(id_col).alias("vid"), _as_double(vec_col).alias("vec")

@@ -259,7 +259,12 @@ def b38_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ingest(batch_df, batch_id):
         store.put_blobs(batch_df).count()
 
-    cp = scratch_dir(f"docs_stream_cp_{token}_{os.getpid()}")
+    # checkpoint must be fresh per invocation: the store is wiped each call
+    # (_fresh_store), so a reused checkpoint would mark the staged file as
+    # already processed and silently skip the streaming leg (ADVICE r2)
+    import uuid
+
+    cp = scratch_dir(f"docs_stream_cp_{token}_{uuid.uuid4().hex[:12]}")
     q = (
         stream.writeStream.foreachBatch(ingest)
         .option("checkpointLocation", cp)

@@ -224,7 +224,7 @@ _PLANTED_SQL = """
     {_PLANTED_SQL}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_COSINE_EXPR} * 1000) / 1000 AS cos
-    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    FROM corpus a JOIN corpus b ON b.vec_id = a.vec_id + 100000
     WHERE {_COSINE_EXPR} >= 0.9
     ORDER BY id_a, id_b
     """,
@@ -232,14 +232,21 @@ _PLANTED_SQL = """
     doc="Sub-quadratic near-dup detection: banded sign-signature LSH "
     "candidates (keyed equi-join on (band_idx, band_val)) + exact cosine "
     "verify, threshold 0.9, over embeddings with 10 planted near-duplicates. "
-    "Positive scaling preserves sign signatures, so LSH recall is exactly 1 "
-    "and the brute-force DuckDB oracle agrees. The general-recall property "
-    "is asserted against brute force in tests/test_llm_ops.py.",
+    "The oracle-compared output is restricted to the planted (original, copy) "
+    "pairs — positive scaling preserves sign signatures, so LSH recall is "
+    "exactly 1 for THOSE pairs by construction; a natural near-dup pair "
+    "elsewhere in the fixture has only probabilistic recall and would flake "
+    "the comparison (ADVICE r2). The general-recall property is asserted "
+    "against brute force in tests/test_llm_ops.py.",
 )
 def b36_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _planted_neardup_corpus(spark, sf_dir)
     pairs = S.cosine_neardup_lsh(corpus, "vec_id", "embedding", threshold=0.9)
-    return pairs.select("id_a", "id_b", dround("cos", 3).alias("cos")).orderBy("id_a", "id_b")
+    return (
+        pairs.where(F.col("id_b") - F.col("id_a") == 100000)
+        .select("id_a", "id_b", dround("cos", 3).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(

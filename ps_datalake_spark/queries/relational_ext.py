@@ -154,22 +154,29 @@ def b24_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b49_merge_upsert",
     oracle="""
     WITH updates AS (
-      -- price bump on every 4th order + 100 brand-new synthetic orders
-      SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS o_totalprice, 'updated' AS src
+      -- price bump on every 4th order + 100 brand-new synthetic orders.
+      -- DECIMAL arithmetic throughout: double round(x*1.1, 2) can straddle a
+      -- x.xx5 representation boundary between engines (ADVICE r2; same
+      -- failure class TPC-H Q10 hit) — exact decimals cannot.
+      SELECT o_orderkey,
+             round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2)
+               AS o_totalprice,
+             'updated' AS src
       FROM orders WHERE o_orderkey % 4 = 0
       UNION ALL
-      SELECT 900000000 + i, CAST(100 + i AS DOUBLE), 'inserted'
+      SELECT 900000000 + i, CAST(100 + i AS DECIMAL(18,2)), 'inserted'
       FROM generate_series(1, 100) t(i)
     ),
     merged AS (
-      SELECT o_orderkey, o_totalprice, src FROM updates
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(22,2)) AS o_totalprice, src
+      FROM updates
       UNION ALL
-      SELECT o.o_orderkey, round(o.o_totalprice, 2), 'kept'
+      SELECT o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(22,2)), 'kept'
       FROM orders o ANTI JOIN updates u ON o.o_orderkey = u.o_orderkey
     )
     SELECT src,
            count(*) AS n_rows,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(o_totalprice) AS DOUBLE) AS total
     FROM merged GROUP BY src ORDER BY src
     """,
     tags=("B49", "lake"),
@@ -181,16 +188,23 @@ def b24_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b49_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # exact decimal arithmetic on both sides (see oracle comment)
     bumped = orders.where(F.col("o_orderkey") % 4 == 0).select(
         "o_orderkey",
-        dround(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        )
+        .cast("decimal(22,2)")
+        .alias("o_totalprice"),
         F.lit("updated").alias("src"),
     )
     inserts = (
         orders.sparkSession.range(1, 101)
         .select(
             (F.col("id") + 900000000).alias("o_orderkey"),
-            (F.col("id") + 100).cast("double").alias("o_totalprice"),
+            (F.col("id") + 100).cast("decimal(22,2)").alias("o_totalprice"),
             F.lit("inserted").alias("src"),
         )
     )
@@ -199,7 +213,7 @@ def b49_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
         .select(
             "o_orderkey",
-            dround("o_totalprice", 2).alias("o_totalprice"),
+            F.col("o_totalprice").cast("decimal(22,2)").alias("o_totalprice"),
             F.lit("kept").alias("src"),
         )
     )
@@ -208,7 +222,7 @@ def b49_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("src")
         .agg(
             F.count("*").alias("n_rows"),
-            dround(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum("o_totalprice").cast("double").alias("total"),
         )
         .orderBy("src")
     )

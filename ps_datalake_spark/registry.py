@@ -106,16 +106,74 @@ _NEW_IN_R02 = frozenset(
 )
 
 
+# Queries with a green (rows+schema+hash) driver row in round 2's
+# CORRECTNESS_r02.json.  Rotated behind the r1-greens for round 3: the r1
+# evidence is now two rounds old, the r2 evidence one round old.
+_DRIVER_GREEN_R02 = frozenset(
+    {
+        "b10_collect_agg", "b25_array_setops", "b44_rollup_cascade",
+        "b45_histogram", "b45_funnel", "b45_cohort_retention", "b40_sql_cte",
+        "b40_sql_correlated", "b25_array_explode", "b25_array_funcs",
+        "b25_array_construct", "b25_zip_with", "b26_maps", "b27_json",
+        "b26_maps_ext", "b28_pandas_udf", "b29_apply_in_pandas",
+        "b30_tumbling_window", "b30_tumbling_stream", "b31_sliding_window",
+        "b31_session_window", "b46_asof_join", "b32_dedup", "b32_dedup_stream",
+        "b33_stateful_agg_stream", "b34_exact_dedup", "b35_jaccard_pairs",
+        "b36_cosine_topk", "b36_cosine_neardup", "b37_token_stats",
+        "b37_lang_id", "b37_fingerprint", "b37_tfidf_top", "b35_dedup_clusters",
+        "b41_doc_chunking", "b42_llm_pipeline", "b39_multimodal_decode",
+        "b39_feature_pipeline", "b38_put_dedup", "b38_content_addressing",
+        "b38_federation", "b38_roundtrip",
+    }
+)
+
+# Round-2 driver rows that were declared rows-only (`err: no_oracle`) and are
+# NOT being converted to oracle-checked this round: they already have their
+# rows-only evidence, so they rotate to the back rather than consuming one of
+# the 50 verification slots.
+_CHECKED_R02_ROWS_ONLY = frozenset(
+    {
+        "b35_minhash_lsh",
+        "b35_simhash",
+        "b35_minhash_ml",
+        "b37_tfidf_ml",
+        "b39_frame_sample",
+    }
+)
+
+# Round-3 priority: queries converted from rows-only to oracle-checked this
+# round (they need a fresh driver row to prove the new oracle) — brand-new
+# round-3 queries land at rank 0 automatically by being in no set.
+_CONVERTED_IN_R03 = frozenset(
+    {
+        "b36_ann_lsh",
+        "b36_ivf_topk",
+        "b33_update_mode_stream",
+    }
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules on first access so the registry is populated.
     from . import queries as _  # noqa: F401
 
+    # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
+    # Round-3 window = rank 0 (new + converted) + rank 1 (r2-registered, never
+    # hash-verified... the 18 _NEW_IN_R02) + as many rank-2 r1-greens as fit
+    # (two-round-old evidence, re-verification); r2-greens and r2 rows-only
+    # checks rotate to the back.
     def rank(name: str) -> int:
-        if name in _DRIVER_GREEN_R01:
-            return 2
+        if name in _CONVERTED_IN_R03:
+            return 0
         if name in _NEW_IN_R02:
             return 1
-        return 0
+        if name in _DRIVER_GREEN_R01:
+            return 2
+        if name in _DRIVER_GREEN_R02:
+            return 3
+        if name in _CHECKED_R02_ROWS_ONLY:
+            return 4
+        return 0  # brand-new in round 3: must land inside the window
 
     idx = {n: i for i, n in enumerate(_REGISTRY)}
     names = sorted(_REGISTRY, key=lambda n: (rank(n), idx[n]))
