@@ -506,12 +506,17 @@ def b33_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "b33_update_mode_stream",
-    oracle=None,  # update-mode emission counts depend on microbatch split → rows-only
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS window_start,
+           count(*) AS cnt
+    FROM events GROUP BY window_start ORDER BY window_start
+    """,
     tags=("B33", "streaming"),
-    doc="Update output mode: windowed agg with watermark; emits per-batch "
-    "updated windows. Emission multiplicity is batch-split-dependent, so this "
-    "is a rows-only check (the final per-window values are covered by "
-    "b30_tumbling_stream's complete-mode hash match).",
+    doc="Update output mode: windowed agg with watermark emits each updated "
+    "window per microbatch. A window's count only ever grows, so max(cnt) "
+    "per window reduces the batch-split-dependent emission log to the final "
+    "state, which must hash-match the batch-SQL window counts (converted "
+    "from rows-only in round 3).",
 )
 def b33_update_mode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
@@ -521,7 +526,9 @@ def b33_update_mode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     mem = _run_to_memory(agg, "update")
-    return mem.select(
-        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
-        "cnt",
-    ).orderBy("window_start", "cnt")
+    return (
+        mem.select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "cnt")
+        .groupBy("window_start")
+        .agg(F.max("cnt").alias("cnt"))
+        .orderBy("window_start")
+    )

@@ -249,18 +249,87 @@ def b36_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_scalar_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ 3 scalar-scaled copies of each query vector 0-9
+    (id = 100000 + vec_id*3 + j, scale ∈ {2, 3, 4}).
+
+    A uniform positive scalar preserves the DIRECTION exactly, so (a) every
+    sign-LSH bucket bit (sign of plane·x) is identical to the original's —
+    the copies land in the query's own bucket by construction; (b) after
+    normalization the copy IS the query vector — IVF assigns it to the
+    query's own cell by construction.  Hence both ANN paths have guaranteed
+    (not probabilistic) recall on the copies, and the copies are the true
+    top-3 (cos = 1.0 beats every natural candidate), making the brute-force
+    DuckDB oracle deterministic."""
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    def _scale_by(c):
+        # one-arg lambda: a two-parameter lambda would make F.transform pass
+        # the element INDEX as the second argument and clobber the scale
+        return lambda x: x * F.lit(c)
+
+    copies = [
+        emb.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") * 3 + F.lit(100000 + j)).alias("vec_id"),
+            F.transform("embedding", _scale_by(scale)).alias("embedding"),
+        )
+        for j, scale in enumerate([2.0, 3.0, 4.0])
+    ]
+    out = emb
+    for c in copies:
+        out = out.unionByName(c)
+    return out
+
+
+_PLANTED_SCALAR_SQL = """
+    WITH planted AS (
+      SELECT e.vec_id * 3 + 100000 + s.j AS vec_id,
+             list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * s.c) AS embedding
+      FROM embeddings e, (VALUES (0, 2.0), (1, 3.0), (2, 4.0)) s(j, c)
+      WHERE e.vec_id < 10
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding AS v FROM planted
+    )
+"""
+
+# brute-force exact top-3 per query over the planted corpus; the rank column
+# is dropped from the compared output because the three cos≈1.0 copies tie at
+# float precision and either engine may order them differently within the tie
+_ANN_ORACLE = f"""
+    {_PLANTED_SCALAR_SQL},
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id, {_COSINE_EXPR} AS cos
+      FROM corpus a JOIN corpus b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, round(cos, 6) AS cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, cand_id, cos FROM ranked WHERE rn <= 3
+    ORDER BY query_id, cand_id
+"""
+
+
 @query(
     "b36_ann_lsh",
-    oracle=None,  # bucket assignment depends on blake2b-derived planes
+    oracle=_ANN_ORACLE,
     tags=("B36", "llm"),
     doc="ANN top-3 via deterministic random-projection LSH (6 planes, "
-    "exact cosine within bucket). Recall vs brute force asserted in tests.",
+    "multi-probe, exact cosine within bucket) over embeddings with 3 planted "
+    "scalar-scaled copies per query — same direction ⇒ same bucket ⇒ recall "
+    "1 by construction, so the result equals the brute-force top-3 oracle. "
+    "General recall vs brute force asserted in tests/test_llm_ops.py.",
 )
 def b36_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = T(spark, sf_dir, "embeddings")
-    topk = S.ann_lsh_topk(emb, "vec_id", "embedding", query_ids=list(range(10)), k=3)
-    return topk.select("query_id", "cand_id", dround("cos", 6).alias("cos"), "rnk").orderBy(
-        "query_id", "rnk"
+    corpus = _planted_scalar_corpus(spark, sf_dir)
+    topk = S.ann_lsh_topk(corpus, "vec_id", "embedding", query_ids=list(range(10)), k=3)
+    return topk.select("query_id", "cand_id", dround("cos", 6).alias("cos")).orderBy(
+        "query_id", "cand_id"
     )
 
 
@@ -495,17 +564,21 @@ def b35_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "b36_ivf_topk",
-    oracle=None,  # cell assignment depends on the engine-side k-means
+    oracle=_ANN_ORACLE,
     tags=("B36", "llm"),
     doc="ANN top-3 via an IVF index: deterministic k-means coarse quantizer "
     "(2 Lloyd rounds, numpy partial-sum reduce), exact cosine within nprobe=2 "
-    "cells. Recall vs brute force asserted in tests/test_llm_ops.py.",
+    "cells, over embeddings with 3 planted scalar-scaled copies per query. "
+    "A scaled copy normalizes to the query vector itself, so it is assigned "
+    "to the query's own (first-probed) cell — recall 1 by construction and "
+    "the result equals the brute-force top-3 oracle. General recall vs brute "
+    "force asserted in tests/test_llm_ops.py.",
 )
 def b36_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = T(spark, sf_dir, "embeddings")
-    topk = S.ivf_topk(emb, "vec_id", "embedding", query_ids=list(range(10)), k=3)
-    return topk.select("query_id", "cand_id", dround("cos", 6).alias("cos"), "rnk").orderBy(
-        "query_id", "rnk"
+    corpus = _planted_scalar_corpus(spark, sf_dir)
+    topk = S.ivf_topk(corpus, "vec_id", "embedding", query_ids=list(range(10)), k=3)
+    return topk.select("query_id", "cand_id", dround("cos", 6).alias("cos")).orderBy(
+        "query_id", "cand_id"
     )
 
 
