@@ -31,8 +31,20 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (applicationId, sf_dir, table) → analyzed DataFrame.  The driver fixtures
+# are immutable for the life of a session, so re-listing files and re-reading
+# parquet footers on every query build is pure overhead (~50-150 ms/query of
+# py4j + filesystem round trips at sf0.1).  DataFrames are immutable plans —
+# sharing one across queries is safe.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver parquet table, normalizing types."""
+    """Read one driver parquet table, normalizing types (cached per session)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -47,6 +59,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif ts_type == "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    _TABLE_CACHE[key] = df
     return df
 
 

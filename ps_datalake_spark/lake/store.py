@@ -230,7 +230,7 @@ class Store:
         store = cls(spark, path, readonly=readonly, manifest=manifest)
         # schema check must read the ACTUAL file footers (chunks() imposes the
         # expected schema on read, which would make this check vacuous)
-        chunks_path = os.path.join(path, "chunks")
+        chunks_path = store._active_path("chunks")
         if os.path.isdir(chunks_path):
             try:
                 got = {f.name: f.dataType for f in spark.read.parquet(chunks_path).schema.fields}
@@ -247,8 +247,49 @@ class Store:
 
     # -- dataset accessors ---------------------------------------------------
 
+    def _active_path(self, sub: str) -> str:
+        """Resolve the ACTIVE generation directory for a dataset.
+
+        Maintenance ops (compact/vacuum) never replace a dataset directory in
+        place — they write a new generation and atomically swap the pointer in
+        manifest.json (single os.replace), so a concurrent reader always sees
+        a complete dataset (r2 verdict #5: rmtree+replace had a
+        missing-dataset window).  Re-reading manifest.json here lets
+        long-lived Store handles follow pointer swaps."""
+        try:
+            with open(os.path.join(self.path, "manifest.json")) as f:
+                gen = json.load(f).get(f"{sub}_dir")
+        except Exception:
+            gen = self.manifest.get(f"{sub}_dir")
+        return os.path.join(self.path, gen or sub)
+
+    def _commit_generation(self, sub: str, new_dir: str) -> None:
+        """Atomically publish ``new_dir`` as the active generation of ``sub``.
+
+        The pointer swap is one os.replace of manifest.json (atomic on POSIX).
+        The just-superseded generation is RETAINED so readers that resolved
+        the old pointer keep working; generations older than that (and
+        crashed half-written ones) are removed — retention depth 1, the
+        minimum that makes maintenance non-disruptive for in-flight queries.
+        """
+        import shutil as _sh
+
+        old = self.manifest.get(f"{sub}_dir") or sub
+        self.manifest[f"{sub}_dir"] = new_dir
+        mf_path = os.path.join(self.path, "manifest.json")
+        tmp = mf_path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, mf_path)
+        keep = {new_dir, old}
+        for d in os.listdir(self.path):
+            if d.startswith(sub) and d not in keep:
+                full = os.path.join(self.path, d)
+                if os.path.isdir(full):
+                    _sh.rmtree(full, ignore_errors=True)
+
     def _read_or_empty(self, sub: str, schema: StructType) -> DataFrame:
-        p = os.path.join(self.path, sub)
+        p = self._active_path(sub)
         try:
             return self.spark.read.schema(schema).parquet(p)
         except Exception:
@@ -454,7 +495,7 @@ class Store:
         # append (at scale: avoids the tasks×partitions small-file explosion)
         staged.repartition("hash_prefix").write.mode("append").partitionBy(
             "hash_prefix"
-        ).parquet(os.path.join(self.path, "chunks"))
+        ).parquet(self._active_path("chunks"))
 
     def _append_manifests(self, rows: DataFrame) -> None:
         # in-batch dedup first: two identical large blobs in one put batch
@@ -463,7 +504,7 @@ class Store:
         staged = rows.dropDuplicates(["root_hash", "seq"]).join(
             self.manifests().select("root_hash").distinct(), "root_hash", "left_anti"
         )
-        staged.write.mode("append").parquet(os.path.join(self.path, "manifests"))
+        staged.write.mode("append").parquet(self._active_path("manifests"))
 
     def put_blob(self, data: bytes) -> str:
         """Single-blob convenience over the distributed path (A14)."""
@@ -649,30 +690,31 @@ class Store:
         """Rewrite the chunk dataset with size-targeted files per partition.
 
         Appends accumulate one file per partition per batch; compaction
-        rewrites each hash_prefix partition into ceil(bytes/target) files.
-        Returns the number of files after compaction. Single-writer op (the
-        router guarantees one writer per store)."""
+        rewrites each hash_prefix partition into ceil(bytes/target) files and
+        publishes the rewrite with an atomic manifest pointer swap
+        (_commit_generation) — a concurrent reader never observes a missing
+        or half-written dataset. Single-writer op (the router guarantees one
+        writer per store)."""
         import glob
-        import shutil as _sh
+        import uuid
 
-        chunks_path = os.path.join(self.path, "chunks")
         if self.readonly:
             raise StoreReadOnly(self.path)
+        chunks_path = self._active_path("chunks")
         if not os.path.isdir(chunks_path):
             return 0
         df = self.chunks()
         total = df.agg(F.coalesce(F.sum("size"), F.lit(0))).head()[0] or 0
         n_files = max(1, int(total // target_file_bytes) + 1)
-        tmp = chunks_path + ".compact"
+        new_dir = f"chunks_g{uuid.uuid4().hex[:8]}"
         (
             df.repartition(n_files, "hash_prefix")
             .write.mode("overwrite")
             .partitionBy("hash_prefix")
-            .parquet(tmp)
+            .parquet(os.path.join(self.path, new_dir))
         )
-        _sh.rmtree(chunks_path)
-        os.replace(tmp, chunks_path)
-        return len(glob.glob(os.path.join(chunks_path, "*", "*.parquet")))
+        self._commit_generation("chunks", new_dir)
+        return len(glob.glob(os.path.join(self.path, new_dir, "*", "*.parquet")))
 
     def vacuum(self, roots: DataFrame, hkey_col: str = "hkey") -> int:
         """Mark-and-sweep GC: keep only chunks reachable from the given root
@@ -685,8 +727,7 @@ class Store:
         """
         if self.readonly:
             raise StoreReadOnly(self.path)
-        chunks_path = os.path.join(self.path, "chunks")
-        if not os.path.isdir(chunks_path):
+        if not os.path.isdir(self._active_path("chunks")):
             return 0
         parts = F.split(F.col(hkey_col), ":")
         parsed = roots.select(
@@ -715,25 +756,25 @@ class Store:
         sentinel = self.spark.createDataFrame([(sentinel_hash,)], "hash string")
         live = direct.unionByName(tree_kids).unionByName(sentinel).distinct()
 
+        import uuid
+
         before = self.chunks().count()
         kept = self.chunks().join(live, "hash", "left_semi")
-        tmp = chunks_path + ".vacuum"
+        new_chunks = f"chunks_g{uuid.uuid4().hex[:8]}"
         kept.repartition("hash_prefix").write.mode("overwrite").partitionBy(
             "hash_prefix"
-        ).parquet(tmp)
-        import shutil as _sh
-
-        _sh.rmtree(chunks_path)
-        os.replace(tmp, chunks_path)
-        # manifests for unreachable tree roots are swept too
+        ).parquet(os.path.join(self.path, new_chunks))
+        self._commit_generation("chunks", new_chunks)
+        # manifests for unreachable tree roots are swept too — same atomic
+        # generation swap
         live_roots = tree_roots.distinct()
-        manifests_path = os.path.join(self.path, "manifests")
-        if os.path.isdir(manifests_path):
+        if os.path.isdir(self._active_path("manifests")):
             kept_manifests = self.manifests().join(live_roots, "root_hash", "left_semi")
-            mtmp = manifests_path + ".vacuum"
-            kept_manifests.write.mode("overwrite").parquet(mtmp)
-            _sh.rmtree(manifests_path)
-            os.replace(mtmp, manifests_path)
+            new_manifests = f"manifests_g{uuid.uuid4().hex[:8]}"
+            kept_manifests.write.mode("overwrite").parquet(
+                os.path.join(self.path, new_manifests)
+            )
+            self._commit_generation("manifests", new_manifests)
         return before - self.chunks().count()
 
     def stats(self) -> dict:

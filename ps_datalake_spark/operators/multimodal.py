@@ -69,15 +69,139 @@ def decode_stub(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(_fake_decode_batch, DECODED_SCHEMA)
 
 
+IMAGE_SCHEMA = (
+    "id bigint, fmt string, width bigint, height bigint, n_pixels bigint, "
+    "byte_size bigint, mean_r double, mean_g double, mean_b double, top_r double"
+)
+
+
+def encode_bmp(width: int, height: int, top_rgb, bottom_rgb) -> bytes:
+    """Minimal uncompressed 24-bit BMP (BITMAPINFOHEADER): two horizontal
+    color bands. Pixel rows are stored BOTTOM-UP in BGR order and padded to
+    4-byte boundaries — the parts a decoder must get right."""
+    import numpy as np
+
+    stride = (width * 3 + 3) // 4 * 4
+    pix_bytes = stride * height
+    img = np.zeros((height, width, 3), dtype=np.uint8)  # top-down RGB
+    img[: height // 2] = top_rgb
+    img[height // 2 :] = bottom_rgb
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = img[::-1, :, ::-1].reshape(height, width * 3)  # flip + BGR
+    header = (
+        b"BM"
+        + (54 + pix_bytes).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")  # positive: bottom-up
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + pix_bytes.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + rows.tobytes()
+
+
+def encode_ppm(width: int, height: int, top_rgb, bottom_rgb) -> bytes:
+    """Binary PPM (P6): ASCII header, then top-down RGB triples, no padding."""
+    import numpy as np
+
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    img[: height // 2] = top_rgb
+    img[height // 2 :] = bottom_rgb
+    return f"P6\n{width} {height}\n255\n".encode() + img.tobytes()
+
+
+def _parse_bmp(raw: bytes):
+    """Parse an uncompressed 24-bit BMP into a top-down RGB ndarray."""
+    import numpy as np
+
+    if raw[0:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    pix_off = int.from_bytes(raw[10:14], "little")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    compression = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    ah = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = (
+        np.frombuffer(raw, dtype=np.uint8, count=stride * ah, offset=pix_off)
+        .reshape(ah, stride)[:, : w * 3]
+        .reshape(ah, w, 3)
+    )
+    # positive height = bottom-up storage; channel order on disk is BGR
+    return (rows[::-1] if h > 0 else rows)[:, :, ::-1]
+
+
+def _parse_ppm(raw: bytes):
+    """Parse a binary PPM (P6) into a top-down RGB ndarray."""
+    import numpy as np
+
+    if raw[0:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = 4 whitespace-separated tokens, then exactly one whitespace byte
+    pos, tokens = 0, []
+    while len(tokens) < 4:
+        while raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":  # comment line
+            pos = raw.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while not raw[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(raw[start:pos])
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+
+
 def decode_real(blobs: DataFrame) -> DataFrame:
-    """Real codec seam — requires an image library not present in this container."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real media decode needs PIL/torchaudio/pyav; use decode_stub for plumbing"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the dependency is available")
+    """REAL image decode (no external libraries): parses uncompressed 24-bit
+    BMP and binary PPM payloads byte-by-byte — header fields, row padding,
+    bottom-up row order, BGR→RGB — and emits dimensions plus channel
+    statistics. ``top_r`` (mean red over the top half of the image) is
+    order-sensitive: a decoder that forgets the BMP row flip or the row
+    padding produces wrong values. Compressed formats (PNG/JPEG) stay behind
+    ``decode_stub`` until a codec library is available."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "fmt", "width", "height", "n_pixels", "byte_size",
+                "mean_r", "mean_g", "mean_b", "top_r",
+            )}
+            for rid, data in zip(pdf["id"], pdf["data"]):
+                raw = bytes(data)
+                if raw[:2] == b"BM":
+                    img, fmt = _parse_bmp(raw), "bmp"
+                elif raw[:2] == b"P6":
+                    img, fmt = _parse_ppm(raw), "ppm"
+                else:
+                    raise ValueError(f"unknown image magic {raw[:2]!r} for id {rid}")
+                h, w = img.shape[0], img.shape[1]
+                means = img.reshape(-1, 3).mean(axis=0)
+                out["id"].append(rid)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["byte_size"].append(len(raw))
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+                out["top_r"].append(float(img[: h // 2, :, 0].mean()) if h >= 2 else float("nan"))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_decode, IMAGE_SCHEMA)
 
 
 RESIZED_SCHEMA = "id bigint, width bigint, height bigint, scale double, content_sha string"

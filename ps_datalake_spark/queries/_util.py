@@ -24,6 +24,26 @@ def ordered(df: DataFrame, *cols: str) -> DataFrame:
     return df.orderBy(*cols)
 
 
+def dim(df: DataFrame, sf_dir: str, table: str, threshold: int = 64 << 20) -> DataFrame:
+    """Broadcast-hint a dimension table iff its on-disk parquet is small.
+
+    Catalyst's auto-broadcast picks the build side purely by estimated size,
+    which at small scale factors can select the FACT table (e.g. a 25 MB
+    lineitem) as the broadcast side — a shape that inverts at scale and
+    wastes time building a huge hash relation at any scale.  Declaring the
+    dimension side explicitly — but only when its bytes justify it — keeps
+    the fact table as the probe stream here AND at 1000×, where an oversized
+    dimension simply stops being hinted and falls back to a shuffle join.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:
+        return df
+    return F.broadcast(df) if size < threshold else df
+
+
 def dround(col, scale: int = 0):
     """round() matching DuckDB's double semantics.
 

@@ -169,6 +169,86 @@ def b38_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b38_waterfall",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, sha256(text) AS h, octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT CAST((SELECT count(DISTINCT h) FROM d WHERE n > {_RAW_MAX} AND doc_id < 250) + 1
+                AS BIGINT) AS a_chunks,
+           CAST((SELECT count(DISTINCT h) FROM d WHERE n > {_RAW_MAX}) + 1 AS BIGINT)
+             AS b_chunks,
+           CAST(1 AS BIGINT) AS routed_to_b,
+           CAST(1 AS BIGINT) AS out_of_stores
+    FROM (SELECT 1)
+    """,
+    tags=("B38", "lake"),
+    doc="Federated put waterfall under quota pressure (A16, reference "
+    "lake/mod.rs:70-112): store A's quota admits exactly the first batch "
+    "(docs < 250); the second batch (all docs) overflows A and must land "
+    "wholly in store B; a third oversized put overflows BOTH stores and must "
+    "surface OutOfStores. Quotas are derived from the batch byte sums so the "
+    "admit/reject decisions are deterministic at any scale factor.",
+)
+def b38_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..errors import OutOfStores
+    from ..lake.store import MAX_SIZE_RAW, SENTINEL
+
+    blobs = _doc_blobs(spark, sf_dir).withColumn("_n", F.length("data"))
+    sums = blobs.agg(
+        F.coalesce(
+            F.sum(F.when((F.col("_n") > _RAW_MAX) & (F.col("id") < 250), F.col("_n"))),
+            F.lit(0),
+        ).alias("s1"),
+        F.coalesce(F.sum(F.when(F.col("_n") > _RAW_MAX, F.col("_n"))), F.lit(0)).alias(
+            "sall"
+        ),
+    ).head()
+    s1, sall = int(sums["s1"]), int(sums["sall"])
+    sentinel_size = len(SENTINEL) + MAX_SIZE_RAW
+    blobs = blobs.drop("_n")
+
+    import uuid
+
+    run = uuid.uuid4().hex[:8]  # fresh stores: quota state is per-invocation
+    sa = Store.create(
+        spark, scratch_dir(f"q_wf_a_{run}"), prefix_len=1,
+        quota_bytes=sentinel_size + s1,
+    )
+    sb = Store.create(
+        spark, scratch_dir(f"q_wf_b_{run}"), prefix_len=1,
+        quota_bytes=sentinel_size + sall,
+    )
+    lake = Lake(spark, readable=[sa, sb], writable=[sa, sb])
+
+    lake.put_blobs(blobs.where(F.col("id") < 250)).count()  # fits A exactly
+    lake.put_blobs(blobs).count()  # overflows A → must land wholly in B
+    a_chunks = sa.chunks().count()
+    b_chunks = sb.chunks().count()
+    routed_to_b = int(b_chunks > 1)
+
+    # oversized put: admission must refuse on A AND B → OutOfStores (the
+    # blob is as big as all storable docs combined, so no dedup slack in
+    # either store can admit it)
+    big = spark.createDataFrame(
+        [(0, bytearray(b"\xab" * max(sall, _RAW_MAX + 1)))], "id long, data binary"
+    )
+    try:
+        lake.put_blobs(big).count()
+        out_of_stores = 0
+    except OutOfStores:
+        out_of_stores = 1
+
+    import shutil as _sh
+
+    for s in (sa, sb):
+        _sh.rmtree(s.path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(a_chunks, b_chunks, routed_to_b, out_of_stores)],
+        "a_chunks bigint, b_chunks bigint, routed_to_b bigint, out_of_stores bigint",
+    )
+
+
+@query(
     "b38_compact_vacuum",
     oracle=f"""
     WITH d AS (SELECT doc_id, sha256(text) AS h, octet_length(encode(text)) AS n

@@ -821,3 +821,77 @@ def b39_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = M.to_blob(docs, "doc_id", "text")
     sampled = M.frame_sample(blobs, every_nth=10)
     return sampled.select("id", "byte_size", "magic").orderBy("id")
+
+
+@query(
+    "b39_decode_real",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS id,
+             (n_chars % 13) + 4 AS w,
+             ((doc_id * 7) % 11) + 4 AS h,
+             doc_id % 256 AS tr,
+             (doc_id + 91) % 256 AS br, (doc_id * 3 + 17) % 256 AS bg,
+             (doc_id * 3) % 256 AS tg, (doc_id * 7) % 256 AS tb,
+             (doc_id * 7 + 29) % 256 AS bb,
+             doc_id % 2 = 0 AS is_bmp
+      FROM documents
+    ),
+    dims AS (SELECT *, h // 2 AS ht, h - h // 2 AS hb FROM m)
+    SELECT id,
+           CASE WHEN is_bmp THEN 'bmp' ELSE 'ppm' END AS fmt,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN is_bmp
+                THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+                ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
+                END AS BIGINT) AS byte_size,
+           round(CAST(w * ht * tr + w * hb * br AS DOUBLE) / (w * h), 6) AS mean_r,
+           round(CAST(w * ht * tg + w * hb * bg AS DOUBLE) / (w * h), 6) AS mean_g,
+           round(CAST(w * ht * tb + w * hb * bb AS DOUBLE) / (w * h), 6) AS mean_b,
+           round(CAST(tr AS DOUBLE), 6) AS top_r
+    FROM dims ORDER BY id
+    """,
+    tags=("B39", "llm", "multimodal"),
+    doc="REAL (non-stub) image codec round-trip: synthesize a two-band "
+    "uncompressed 24-bit BMP (even ids) or binary PPM (odd ids) per document "
+    "with SQL-predictable dimensions and band colors, then decode_real parses "
+    "the actual bytes — BMP header fields, 4-byte row padding, bottom-up row "
+    "order, BGR→RGB; PPM ASCII header — and reports dimensions + channel "
+    "means. top_r (mean red of the TOP half) catches a missed row flip; "
+    "byte_size catches wrong padding. Means use the identical float "
+    "expression on both sides so IEEE division matches exactly.",
+)
+def b39_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _encode(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                w, h = nc % 13 + 4, (d * 7) % 11 + 4
+                top = (d % 256, (d * 3) % 256, (d * 7) % 256)
+                bot = ((d + 91) % 256, (d * 3 + 17) % 256, (d * 7 + 29) % 256)
+                enc = M.encode_bmp if d % 2 == 0 else M.encode_ppm
+                ids.append(d)
+                blobs.append(enc(w, h, top, bot))
+            yield pd.DataFrame({"id": ids, "data": blobs})
+
+    blobs = docs.mapInPandas(_encode, "id bigint, data binary")
+    decoded = M.decode_real(blobs)
+    return decoded.select(
+        "id",
+        "fmt",
+        "width",
+        "height",
+        "n_pixels",
+        "byte_size",
+        dround("mean_r", 6).alias("mean_r"),
+        dround("mean_g", 6).alias("mean_g"),
+        dround("mean_b", 6).alias("mean_b"),
+        dround("top_r", 6).alias("top_r"),
+    ).orderBy("id")

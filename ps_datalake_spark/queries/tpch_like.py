@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ._util import T, dround
+from ._util import T, dim, dround
 
 
 @query(
@@ -100,18 +100,25 @@ def b10_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer-nation = supplier-nation co-location predicate.",
 )
 def b05_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    # lineitem is the probe stream: dimensions are size-aware broadcast hints
+    # (Catalyst's unhinted static plan broadcasts the FACT at small SF because
+    # its file squeaks under the threshold — wrong side at every scale)
+    c = dim(T(spark, sf_dir, "customer"), sf_dir, "customer")
+    o = dim(
+        T(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        ),
+        sf_dir,
+        "orders",
     )
     li = T(spark, sf_dir, "lineitem")
-    s = T(spark, sf_dir, "supplier")
+    s = dim(T(spark, sf_dir, "supplier"), sf_dir, "supplier")
     n = F.broadcast(T(spark, sf_dir, "nation"))
     r = F.broadcast(T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)

@@ -50,11 +50,22 @@ def test_no_complex_result_columns(spark, sf_dir):
 
 
 def test_driver_window_covers_unchecked_queries():
-    """all_queries() must order the round-1 driver-unchecked queries first so
-    they fall inside the driver's 50-query CORRECTNESS window."""
-    from ps_datalake_spark.registry import _DRIVER_GREEN_R01, _NEW_IN_R02
+    """Round-3 window invariant: the driver's 50-slot CORRECTNESS window must
+    hold (in priority order) queries converted to oracle-checked this round +
+    brand-new round-3 queries, then the 18 round-2-registered queries the
+    driver has never hash-verified, with the leftover slots refilled by the
+    OLDEST green evidence (round-1 greens, two-round-old) — never by round-2
+    greens or already-recorded rows-only queries."""
+    from ps_datalake_spark.registry import (
+        _CHECKED_R02_ROWS_ONLY,
+        _CONVERTED_IN_R03,
+        _DRIVER_GREEN_R02,
+        _NEW_IN_R02,
+    )
 
     names = list(SPECS)
     window = set(names[:50])
-    assert not (window & _DRIVER_GREEN_R01), "green r01 queries must sort last"
-    assert not (window & _NEW_IN_R02), "round-2 queries must not evict r01-unchecked ones"
+    assert _CONVERTED_IN_R03 <= window, "converted queries need a fresh driver row"
+    assert _NEW_IN_R02 <= window, "never-hash-verified r2 queries must be in the window"
+    assert not (window & _DRIVER_GREEN_R02), "fresh r2 greens must rotate to the back"
+    assert not (window & _CHECKED_R02_ROWS_ONLY), "recorded rows-only rotate to the back"

@@ -124,3 +124,43 @@ def test_compact_and_stats(spark, tmp_path):
     assert n_files <= after["n_partitions"] * 2
     # content still readable after compaction
     assert store.has(store.chunks().select("hash").head()["hash"])
+
+
+def test_maintenance_is_atomic_for_readers(spark, tmp_path):
+    """A reader that planned against the pre-compact generation keeps working
+    through (and after) the compaction commit: maintenance publishes a new
+    generation directory via an atomic manifest-pointer swap and retains the
+    superseded generation (depth 1) instead of deleting the dataset in place
+    (r2 verdict #5)."""
+    import os
+
+    store = Store.create(spark, str(tmp_path / "atomic_store"), prefix_len=1)
+    df = spark.createDataFrame(
+        [(i, bytearray(_blob(400 + i))) for i in range(10)], "id long, data binary"
+    )
+    store.put_blobs(df).count()
+
+    reader = store.chunks()  # plan bound to the pre-compact generation
+    n = reader.count()
+    store.compact(target_file_bytes=1 << 20)
+    # in-flight reader still sees a complete dataset (old generation retained)
+    assert reader.count() == n
+    # fresh plans resolve the new generation with identical content
+    assert store.chunks().count() == n
+
+    # writes after the swap land in the ACTIVE generation and are visible
+    store.put_blobs(
+        spark.createDataFrame([(99, bytearray(_blob(999)))], "id long, data binary")
+    ).count()
+    assert store.chunks().count() == n + 1
+
+    # a second maintenance op retires the oldest generation: only the active
+    # and its immediate predecessor remain on disk
+    store.compact(target_file_bytes=1 << 20)
+    gens = [d for d in os.listdir(store.path) if d.startswith("chunks")]
+    assert len(gens) == 2
+    assert store.chunks().count() == n + 1
+
+    # reopening resolves the pointer from disk (persisted, not in-memory state)
+    reopened = Store.open(spark, store.path)
+    assert reopened.chunks().count() == n + 1
