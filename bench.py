@@ -321,20 +321,32 @@ def _floor(spark) -> dict[str, float]:
     return {"spark_noop_sec": noop, "duckdb_noop_sec": round(best, 4)}
 
 
-def main() -> None:
+def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
+    """Run the full bench path and print the one-line JSON artifact.
+
+    The keyword overrides exist so tests/test_bench_smoke.py can execute this
+    EXACT code path (not a reimplementation) on sf0.001 with a 2-query set —
+    the round-3 bench shipped rc=1 because nothing in tests/ ran main().
+    Returns the payload dict (the driver only reads stdout; tests assert on
+    the return value)."""
+    headline = HEADLINE if headline is None else headline
+    scale_queries = SCALE_QUERIES if scale_queries is None else scale_queries
+    sf_dir = SF_DIR if sf_dir is None else sf_dir
     specs = all_queries()
-    spark = get_spark(app_name="ps-datalake-bench")
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    own_spark = spark is None
+    if own_spark:
+        spark = get_spark(app_name="ps-datalake-bench")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     # warm up the JVM + parquet footers once, outside the timed region
-    specs["b01_scan_parquet"].build(spark, SF_DIR).collect()
+    specs["b01_scan_parquet"].build(spark, sf_dir).collect()
 
-    profile = _apply_profile(spark, SF_DIR, cpus, aqe=False)  # see module docstring
-    times = _time_spark(spark, specs, HEADLINE, SF_DIR)
+    profile = _apply_profile(spark, sf_dir, cpus, aqe=False)  # see module docstring
+    times = _time_spark(spark, specs, headline, sf_dir, cpus)
 
     try:
-        duck_times = _time_duckdb(specs, HEADLINE, SF_DIR)
+        duck_times = _time_duckdb(specs, headline, sf_dir)
     except Exception:
         duck_times = {}
 
@@ -343,45 +355,45 @@ def main() -> None:
     scale_duck: dict[str, float] = {}
     scale_profile = None
     try:
-        scaled_dir = _build_scaled_dir(SF_DIR)
-        scale_profile = _apply_profile(spark, scaled_dir, cpus, aqe=True)
-        for name in SCALE_QUERIES:
-            if name in EAGER_BUILDERS:
-                _force(specs[name].build(spark, scaled_dir))  # warmup
-                t0 = time.perf_counter()
-                _force(specs[name].build(spark, scaled_dir))
-                scale_times[name] = round(time.perf_counter() - t0, 3)
-            else:
-                df = specs[name].build(spark, scaled_dir)
-                _force(df)  # warmup
-                t0 = time.perf_counter()
-                _force(df)
-                scale_times[name] = round(time.perf_counter() - t0, 3)
-        scale_duck = _time_duckdb(specs, SCALE_QUERIES, scaled_dir)
+        if scale_queries:
+            scaled_dir = _build_scaled_dir(sf_dir)
+            scale_profile = _apply_profile(spark, scaled_dir, cpus, aqe=True)
+            for name in scale_queries:
+                if name in EAGER_BUILDERS:
+                    _force(specs[name].build(spark, scaled_dir))  # warmup
+                    t0 = time.perf_counter()
+                    _force(specs[name].build(spark, scaled_dir))
+                    scale_times[name] = round(time.perf_counter() - t0, 3)
+                else:
+                    df = specs[name].build(spark, scaled_dir)
+                    _force(df)  # warmup
+                    t0 = time.perf_counter()
+                    _force(df)
+                    scale_times[name] = round(time.perf_counter() - t0, 3)
+            scale_duck = _time_duckdb(specs, scale_queries, scaled_dir)
     except Exception:
         pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "duckdb": duck_times,
-                "floor": _floor(spark),
-                "conf": {"headline": profile, "scale": scale_profile
-                         if scale_times else None},
-                "scale10": {
-                    "factor": SCALE_FACTOR,
-                    "queries": scale_times,
-                    "duckdb": scale_duck,
-                },
-            }
-        )
-    )
-    spark.stop()
+    payload = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "duckdb": duck_times,
+        "floor": _floor(spark),
+        "conf": {"headline": profile, "scale": scale_profile
+                 if scale_times else None},
+        "scale10": {
+            "factor": SCALE_FACTOR,
+            "queries": scale_times,
+            "duckdb": scale_duck,
+        },
+    }
+    print(json.dumps(payload))
+    if own_spark:
+        spark.stop()
+    return payload
 
 
 if __name__ == "__main__":

@@ -141,14 +141,50 @@ _CHECKED_R02_ROWS_ONLY = frozenset(
     }
 )
 
-# Round-3 priority: queries converted from rows-only to oracle-checked this
-# round (they need a fresh driver row to prove the new oracle) — brand-new
-# round-3 queries land at rank 0 automatically by being in no set.
+# Round-3 priority: queries converted from rows-only to oracle-checked that
+# round (kept for provenance; superseded by the r3 driver rows below).
 _CONVERTED_IN_R03 = frozenset(
     {
         "b36_ann_lsh",
         "b36_ivf_topk",
         "b33_update_mode_stream",
+    }
+)
+
+# The 50 queries with a green (rows+schema+hash) driver row in round 3's
+# CORRECTNESS_r03.json — the NEWEST evidence, rotated to the back for round 4.
+_DRIVER_GREEN_R03 = frozenset(
+    {
+        "b01_orc_roundtrip", "b01_scan_csv_roundtrip", "b01_scan_json_roundtrip",
+        "b01_scan_parquet", "b02_sink_parquet_partitioned", "b03_projection",
+        "b04_filter_battery", "b05_join_full", "b05_join_inner_4way",
+        "b05_join_left", "b06_broadcast_join", "b07_anti_join", "b07_semi_join",
+        "b08_range_join", "b08_range_join_pairs", "b09_cross_join",
+        "b10_agg_minmax", "b10_stats_agg", "b10_tpch_q1", "b10_tpch_q10",
+        "b10_tpch_q18", "b11_count_distinct", "b11_distinct",
+        "b12_approx_count_distinct", "b13_cube", "b13_rollup",
+        "b14_rank_windows", "b15_lag_lead", "b16_window_frames",
+        "b17_sort_nulls", "b18_topk", "b32_late_data",
+        "b32_stream_stream_join", "b33_custom_stateful",
+        "b33_update_mode_stream", "b36_ann_lsh", "b36_cosine_neardup_lsh",
+        "b36_ivf_topk", "b38_compact_vacuum", "b38_stream_ingest",
+        "b38_waterfall", "b39_decode_real", "b39_resize_edges",
+        "b40_sql_grouping_sets", "b47_contamination", "b47_pii_scrub",
+        "b47_repetition", "b48_bucketed_join", "b48_salted_skew_join",
+        "b49_merge_upsert",
+    }
+)
+
+# Round-4 priority: the five queries that were rows-only (`err: no_oracle`)
+# through round 3 and gain a deterministic oracle this round — they need a
+# fresh driver row to prove the new oracle hash-matches.
+_CONVERTED_IN_R04 = frozenset(
+    {
+        "b35_minhash_lsh",
+        "b35_simhash",
+        "b35_minhash_ml",
+        "b37_tfidf_ml",
+        "b39_frame_sample",
     }
 )
 
@@ -158,22 +194,20 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries as _  # noqa: F401
 
     # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
-    # Round-3 window = rank 0 (new + converted) + rank 1 (r2-registered, never
-    # hash-verified... the 18 _NEW_IN_R02) + as many rank-2 r1-greens as fit
-    # (two-round-old evidence, re-verification); r2-greens and r2 rows-only
-    # checks rotate to the back.
+    # Round-4 window = rank 0 (brand-new r4 queries + the five rows-only →
+    # oracle conversions) + rank 1 (r1-green evidence never re-verified since
+    # round 1 — three rounds old) + as many rank-2 r2-greens as fit; the 50
+    # r3-verified queries (freshest evidence) rotate to the back.
     def rank(name: str) -> int:
-        if name in _CONVERTED_IN_R03:
+        if name in _CONVERTED_IN_R04:
             return 0
-        if name in _NEW_IN_R02:
-            return 1
-        if name in _DRIVER_GREEN_R01:
-            return 2
-        if name in _DRIVER_GREEN_R02:
+        if name in _DRIVER_GREEN_R03:
             return 3
-        if name in _CHECKED_R02_ROWS_ONLY:
-            return 4
-        return 0  # brand-new in round 3: must land inside the window
+        if name in _DRIVER_GREEN_R01:
+            return 1  # oldest surviving evidence (round 1 only)
+        if name in _DRIVER_GREEN_R02:
+            return 2
+        return 0  # brand-new in round 4: must land inside the window
 
     idx = {n: i for i, n in enumerate(_REGISTRY)}
     names = sorted(_REGISTRY, key=lambda n: (rank(n), idx[n]))

@@ -1,0 +1,36 @@
+"""Smoke test for the bench harness: executes bench.main() — the EXACT code
+path the driver runs for BENCH_r{N}.json — on sf0.001 with a tiny query set.
+
+Round 3 shipped a broken bench artifact (rc=1: _time_spark() missing the
+`cpus` arg) because nothing in tests/ ever ran bench.py's main path; the
+full 174-test suite stayed green while the round's only perf artifact died.
+This test makes that class of regression impossible to ship silently.
+
+Kept fast (~20 s): 2 headline queries (one plain, one EAGER_BUILDER so both
+_time_spark branches run), no scale probe, reusing the session Spark.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_bench_main_path(spark, sf_dir, capsys):
+    payload = bench.main(
+        headline=["b10_tpch_q1", "b38_put_dedup"],
+        scale_queries=[],
+        sf_dir=sf_dir,
+        spark=spark,
+    )
+    # the driver parses exactly one JSON line from stdout
+    out_lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    parsed = json.loads(out_lines[-1])
+    assert parsed["metric"] == "headline_queries_total_wall_clock"
+    assert set(parsed["queries"]) == {"b10_tpch_q1", "b38_put_dedup"}
+    assert all(v > 0 for v in parsed["queries"].values())
+    assert payload["value"] == round(sum(payload["queries"].values()), 3)
+    # DuckDB comparison column must be populated for oracle-bearing queries
+    assert "b10_tpch_q1" in payload["duckdb"]
+    assert payload["floor"]["spark_noop_sec"] > 0
