@@ -277,3 +277,34 @@ def frame_sample(blobs: DataFrame, every_nth: int = 10) -> DataFrame:
     hash(id) % every_nth == 0 — the partition-preserving sampling shape a real
     frame extractor would use."""
     return blobs.where(F.pmod(F.xxhash64(F.col("id")), F.lit(every_nth)) == 0)
+
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """Pure-Python replica of Spark's ``xxhash64`` for a single LongType input
+    (XXH64.hashLong with the default seed 42). Used to PREDICT which ids
+    survive ``frame_sample`` so the sampled set gets a deterministic DuckDB
+    oracle (the driver cannot evaluate Spark hashes in SQL). Equality with the
+    JVM implementation is asserted in tests/test_llm_ops.py.
+    """
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    h = (seed + _XXH_P5 + 8) & _M64
+    h ^= (rotl((value & _M64) * _XXH_P2 & _M64, 31) * _XXH_P1) & _M64
+    h = (rotl(h, 27) * _XXH_P1 + _XXH_P4) & _M64
+    h ^= h >> 33
+    h = h * _XXH_P2 & _M64
+    h ^= h >> 29
+    h = h * _XXH_P3 & _M64
+    h ^= h >> 32
+    # reinterpret as signed 64-bit (Spark returns LongType)
+    return h - (1 << 64) if h >= (1 << 63) else h

@@ -2,10 +2,16 @@
 
 Thin registrations over the real implementations in
 ``ps_datalake_spark.operators`` (dedup / similarity / text / multimodal).
-Exact operators are oracle-checked against DuckDB; hash-family operators
-(MinHash, SimHash, xxhash64 sampling) use Spark-internal hashes DuckDB cannot
-reproduce, so they carry rows-only checks — each is paired with an exact,
-oracle-checked counterpart covering the same semantics.
+Exact operators are oracle-checked against DuckDB directly. Hash-family
+operators (MinHash, SimHash, xxhash64 sampling) use Spark-internal hashes
+DuckDB cannot reproduce, so their oracles are built constructively instead:
+planted exact duplicates whose recall and score are deterministic by
+construction (identical input ⇒ identical signature ⇒ guaranteed candidate,
+similarity exactly 1.0 / hamming exactly 0), or — for xxhash64 sampling — a
+pure-Python XXH64 replica that predicts the sampled id set. The only
+remaining rows-only query is b37_tfidf_ml (HashingTF bucket collisions make
+the norm value engine-internal); its exact counterpart b37_tfidf_top is
+fully oracle-checked.
 """
 
 from __future__ import annotations
@@ -90,33 +96,86 @@ def b35_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ 10 planted EXACT duplicates of docs 0-9 (id = doc_id +
+    100000, text byte-identical).
+
+    Identical text ⇒ identical shingle set ⇒ identical MinHash signature /
+    SimHash fingerprint / HashingTF features, so every banded-LSH bucket of
+    the copy coincides with the original's and the (original, copy) candidate
+    pair is generated with probability 1 — recall is deterministic by
+    construction, not by hash luck (the round-3 planted-oracle pattern from
+    b36_cosine_neardup_lsh). Estimated similarity of an identical pair is
+    exactly 1.0 / hamming exactly 0, so the scored output is SQL-predictable
+    even though the signatures themselves are Spark-internal hashes.
+    doc_ids are dense 0..N-1 with N ≤ 5000 at the driven SFs, so a pair with
+    id_b - id_a == 100000 is a planted pair if and only if id_b = id_a +
+    100000 (no natural pair can reach that gap)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
+
+
 @query(
     "b35_minhash_lsh",
-    oracle=None,  # xxhash64-based signatures are not reproducible in DuckDB
+    # signatures are Spark-internal (blake2b + affine perms), but the planted
+    # exact-duplicate pairs have deterministic recall 1 and est_jaccard 1.0
+    oracle=r"""
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM documents
+    WHERE doc_id < 10 AND text IS NOT NULL
+      AND len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+    ORDER BY id_a
+    """,
     tags=("B35", "llm"),
     doc="MinHash(64) + 16-band LSH near-dup candidates with estimated Jaccard "
-    "— the 100 TB-scale path (signature shuffle is O(docs×bands)). Recall vs "
-    "the exact Jaccard oracle is asserted in tests/test_llm_ops.py.",
+    "— the 100 TB-scale path (signature shuffle is O(docs×bands)) — over "
+    "documents with 10 planted exact duplicates. The oracle-compared output "
+    "is the planted (original, copy) pairs: identical text gives identical "
+    "signatures, so their recall is 1 and est_jaccard exactly 1.0 by "
+    "construction. General recall vs the exact Jaccard oracle is asserted in "
+    "tests/test_llm_ops.py.",
 )
 def b35_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
-    pairs = D.minhash_neardup_pairs(docs, "doc_id", "text", k=64, bands=16, threshold=0.3)
-    return pairs.select("id_a", "id_b", dround("est_jaccard", 4).alias("est_jaccard")).orderBy(
-        "id_a", "id_b"
+    corpus = _planted_text_corpus(spark, sf_dir)
+    pairs = D.minhash_neardup_pairs(corpus, "doc_id", "text", k=64, bands=16, threshold=0.3)
+    return (
+        pairs.where(F.col("id_b") - F.col("id_a") == 100000)
+        .select("id_a", "id_b", dround("est_jaccard", 4).alias("est_jaccard"))
+        .orderBy("id_a", "id_b")
     )
 
 
 @query(
     "b35_simhash",
-    oracle=None,  # blake2b bit-packing not expressible in DuckDB SQL
+    # fingerprints are Spark-internal (blake2b bit-packing), but a planted
+    # exact duplicate has the identical fingerprint: hamming exactly 0
+    oracle="""
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+    FROM documents
+    WHERE doc_id < 10
+    ORDER BY id_a
+    """,
     tags=("B35", "llm"),
     doc="SimHash-64 near-dup pairs (hamming ≤ 3) via 4×16-bit band join + "
-    "bit_count(xor) — catches hamming ≤ 3 exactly by pigeonhole.",
+    "bit_count(xor) — catches hamming ≤ 3 exactly by pigeonhole — over "
+    "documents with 10 planted exact duplicates. The oracle-compared output "
+    "is the planted pairs (identical fingerprint ⇒ hamming 0, every band "
+    "matches ⇒ recall 1 by construction).",
 )
 def b35_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
-    return D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
+    corpus = _planted_text_corpus(spark, sf_dir)
+    pairs = D.simhash_neardup_pairs(corpus, "doc_id", "text", max_hamming=3)
+    return (
+        pairs.where(F.col("id_b") - F.col("id_a") == 100000)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -451,16 +510,29 @@ def b37_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "b35_minhash_ml",
-    oracle=None,  # Spark-ML hash family is engine-internal
+    # Spark-ML hash family is engine-internal, but a planted exact duplicate
+    # has identical HashingTF features ⇒ identical MinHash bucket in every
+    # hash table ⇒ guaranteed candidate with Jaccard distance exactly 0
+    oracle="""
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM documents
+    WHERE doc_id < 10
+    ORDER BY id_a
+    """,
     tags=("B35", "llm", "ml"),
     doc="Spark-ML variant: Tokenizer → HashingTF → MinHashLSH."
-    "approxSimilarityJoin (seeded, deterministic). The custom b35_minhash_lsh "
+    "approxSimilarityJoin (seeded, deterministic) over documents with 10 "
+    "planted exact duplicates; the oracle-compared output is the planted "
+    "(original, copy) pairs, which share every LSH bucket and score distance "
+    "0 ⇒ est_jaccard exactly 1.0 by construction. The custom b35_minhash_lsh "
     "remains the primary scale path; this exercises the ml.feature pipeline.",
 )
 def b35_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _planted_text_corpus(spark, sf_dir)
     tok = Tokenizer(inputCol="text", outputCol="words")
     words = tok.transform(docs)
     tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 16, binary=True)
@@ -474,7 +546,7 @@ def b35_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("id_b"),
             dround(1 - F.col("jaccard_dist"), 4).alias("est_jaccard"),
         )
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("id_b") - F.col("id_a") == 100000)
         .orderBy("id_a", "id_b")
     )
 
@@ -809,18 +881,41 @@ def b39_resize_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+# xxhash64 is not available in DuckDB SQL, but it IS a published algorithm:
+# predict the sampled id set with the pure-Python replica (equality with the
+# JVM implementation asserted in tests/test_llm_ops.py) and embed it in the
+# oracle as a literal IN list. Domain capped at 5000 = max doc_id + 1 across
+# the driven SFs (both sides apply the identical cap, so every SF agrees).
+_FRAME_SAMPLE_DOMAIN = 5000
+_FRAME_SAMPLE_IDS = ",".join(
+    str(i) for i in range(_FRAME_SAMPLE_DOMAIN) if M.xxhash64_long(i) % 10 == 0
+)
+
+
 @query(
     "b39_frame_sample",
-    oracle=None,  # xxhash64 sampling not reproducible in DuckDB
+    oracle=f"""
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+           sha256(text) AS content_sha
+    FROM documents
+    WHERE doc_id < {_FRAME_SAMPLE_DOMAIN} AND doc_id IN ({_FRAME_SAMPLE_IDS})
+    ORDER BY id
+    """,
     tags=("B39", "llm", "multimodal"),
     doc="Deterministic 1-in-10 frame/blob sampling via xxhash64(id) — "
-    "partition-preserving sampling shape used by video frame extraction.",
+    "partition-preserving sampling shape used by video frame extraction. The "
+    "oracle predicts the surviving id set with a pure-Python XXH64 replica "
+    "(verified against the JVM in tests/test_llm_ops.py) embedded as a "
+    "literal id list, and checks payload size + sha256 per surviving blob.",
 )
 def b39_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < _FRAME_SAMPLE_DOMAIN)
     blobs = M.to_blob(docs, "doc_id", "text")
     sampled = M.frame_sample(blobs, every_nth=10)
-    return sampled.select("id", "byte_size", "magic").orderBy("id")
+    return sampled.select(
+        "id", "byte_size", F.sha2(F.col("data"), 256).alias("content_sha")
+    ).orderBy("id")
 
 
 @query(

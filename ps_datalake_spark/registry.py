@@ -175,15 +175,17 @@ _DRIVER_GREEN_R03 = frozenset(
     }
 )
 
-# Round-4 priority: the five queries that were rows-only (`err: no_oracle`)
-# through round 3 and gain a deterministic oracle this round — they need a
-# fresh driver row to prove the new oracle hash-matches.
+# Round-4 priority: queries that were rows-only (`err: no_oracle`) through
+# round 3 and gain a deterministic oracle this round (planted exact
+# duplicates / pure-Python XXH64 prediction) — they need a fresh driver row
+# to prove the new oracle hash-matches. b37_tfidf_ml is NOT converted
+# (HashingTF bucket collisions make the norm engine-internal); it keeps its
+# recorded rows-only evidence and rotates behind the window.
 _CONVERTED_IN_R04 = frozenset(
     {
         "b35_minhash_lsh",
         "b35_simhash",
         "b35_minhash_ml",
-        "b37_tfidf_ml",
         "b39_frame_sample",
     }
 )
@@ -203,6 +205,8 @@ def all_queries() -> dict[str, QuerySpec]:
             return 0
         if name in _DRIVER_GREEN_R03:
             return 3
+        if name in _CHECKED_R02_ROWS_ONLY:
+            return 3  # unconverted rows-only (b37_tfidf_ml): evidence recorded, rotate back
         if name in _DRIVER_GREEN_R01:
             return 1  # oldest surviving evidence (round 1 only)
         if name in _DRIVER_GREEN_R02:

@@ -122,6 +122,20 @@ def test_lsh_band_validation():
         D.lsh_candidate_pairs(None, bands=12, sig_len=64)  # non-multiple
 
 
+def test_xxhash64_replica_matches_spark(spark):
+    """The b39_frame_sample oracle predicts Spark's xxhash64 with a pure-Python
+    XXH64 replica — byte-for-byte equality over a signed id range is the
+    load-bearing invariant (a drift here silently breaks the planted oracle)."""
+    from pyspark.sql import functions as F
+
+    from ps_datalake_spark.operators.multimodal import xxhash64_long
+
+    rows = spark.range(-500, 2500).select("id", F.xxhash64("id").alias("h")).collect()
+    assert rows, "range collect must not be empty"
+    for r in rows:
+        assert r.h == xxhash64_long(r.id), f"xxhash64 mismatch at id={r.id}"
+
+
 def test_simhash_is_deterministic_and_selective(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     fp1 = {r.doc: r.simhash for r in D.simhash64(docs, "doc_id", "text").collect()}

@@ -50,22 +50,25 @@ def test_no_complex_result_columns(spark, sf_dir):
 
 
 def test_driver_window_covers_unchecked_queries():
-    """Round-3 window invariant: the driver's 50-slot CORRECTNESS window must
-    hold (in priority order) queries converted to oracle-checked this round +
-    brand-new round-3 queries, then the 18 round-2-registered queries the
-    driver has never hash-verified, with the leftover slots refilled by the
-    OLDEST green evidence (round-1 greens, two-round-old) — never by round-2
-    greens or already-recorded rows-only queries."""
+    """Round-4 window invariant: the driver's 50-slot CORRECTNESS window must
+    hold (in priority order) the rows-only → oracle conversions (they need a
+    fresh hash-verified driver row) + any brand-new round-4 queries, then the
+    OLDEST surviving evidence (round-1 greens, now three rounds old); the 50
+    freshly-round-3-verified queries rotate to the back."""
     from ps_datalake_spark.registry import (
-        _CHECKED_R02_ROWS_ONLY,
-        _CONVERTED_IN_R03,
-        _DRIVER_GREEN_R02,
-        _NEW_IN_R02,
+        _CONVERTED_IN_R04,
+        _DRIVER_GREEN_R03,
     )
 
     names = list(SPECS)
     window = set(names[:50])
-    assert _CONVERTED_IN_R03 <= window, "converted queries need a fresh driver row"
-    assert _NEW_IN_R02 <= window, "never-hash-verified r2 queries must be in the window"
-    assert not (window & _DRIVER_GREEN_R02), "fresh r2 greens must rotate to the back"
-    assert not (window & _CHECKED_R02_ROWS_ONLY), "recorded rows-only rotate to the back"
+    assert _CONVERTED_IN_R04 <= window, "converted queries need a fresh driver row"
+    assert not (window & _DRIVER_GREEN_R03), "fresh r3 greens must rotate to the back"
+
+
+def test_converted_queries_have_oracles():
+    """Every query declared converted-in-r4 must actually carry oracle SQL."""
+    from ps_datalake_spark.registry import _CONVERTED_IN_R04
+
+    still_rows_only = {n for n in _CONVERTED_IN_R04 if SPECS[n].oracle is None}
+    assert not still_rows_only, f"declared converted but oracle-less: {still_rows_only}"
