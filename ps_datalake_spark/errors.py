@@ -24,6 +24,12 @@ class OutOfStores(DataLakeError):
     """No writable store accepted the write (lake/mod.rs:70-112 analog)."""
 
 
+class StoreBusy(DataLakeError):
+    """Another writer holds the store's exclusive write lease (analog of the
+    reference's DataStoreWriteGuard exclusivity, src/store/atomic.rs:8-57;
+    a poisoned/contended lock surfaces as an error there too, error.rs:71-75)."""
+
+
 class Corrupted(DataLakeError):
     """Store failed load-time validation (error.rs DataStoreCorrupted analog)."""
 

@@ -44,7 +44,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
+        # confs may have been reset since first load (e.g. a fresh profile in
+        # a long-lived session): re-assert them before handing the plan out
+        configure(spark)
         return hit
+    # evict entries bound to stopped sessions: a long-lived multi-session
+    # process would otherwise pin dead DataFrames forever (ADVICE r3)
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[k]
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":

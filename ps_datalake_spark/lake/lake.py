@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import LakeConfig
-from ..errors import DataLakeError, NotFound, OutOfStores, StoreOutOfSpace, StoreReadOnly
+from ..errors import (
+    DataLakeError,
+    NotFound,
+    OutOfStores,
+    StoreBusy,
+    StoreOutOfSpace,
+    StoreReadOnly,
+)
 from .store import Store
 
 
@@ -81,12 +88,14 @@ class Lake:
     # -- writes --------------------------------------------------------------
 
     def put_blobs(self, df: DataFrame, id_col: str = "id", data_col: str = "data") -> DataFrame:
-        """Route to the first writable store that accepts (lake/mod.rs:70-112)."""
+        """Route to the first writable store that accepts (lake/mod.rs:70-112).
+        Busy stores (write lease held by another process) are skipped like
+        readonly ones — the waterfall finds an idle store or OutOfStores."""
         last_err: DataLakeError | None = None
         for store in self.writable:
             try:
                 return store.put_blobs(df, id_col=id_col, data_col=data_col)
-            except (StoreReadOnly, StoreOutOfSpace) as e:
+            except (StoreReadOnly, StoreOutOfSpace, StoreBusy) as e:
                 last_err = e
                 continue
         raise OutOfStores(str(last_err) if last_err else "no writable stores")
@@ -96,7 +105,7 @@ class Lake:
         for store in self.writable:
             try:
                 return store.put_blob(data)
-            except (StoreReadOnly, StoreOutOfSpace) as e:
+            except (StoreReadOnly, StoreOutOfSpace, StoreBusy) as e:
                 last_err = e
                 continue
         raise OutOfStores(str(last_err) if last_err else "no writable stores")

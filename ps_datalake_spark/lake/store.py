@@ -43,7 +43,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..errors import Corrupted, NotFound, StoreOutOfSpace, StoreReadOnly
+from ..errors import Corrupted, NotFound, StoreBusy, StoreOutOfSpace, StoreReadOnly
 from . import crypto
 from .hkey import Hkey
 
@@ -245,6 +245,87 @@ class Store:
                     raise Corrupted(f"chunks schema mismatch on {name!r}: {got.get(name)}")
         return store
 
+    # -- exclusive write lease (A20, src/store/atomic.rs:8-57) ---------------
+
+    _LEASE_TTL_SEC = 3600.0  # a crashed writer's lease is breakable after this
+
+    def _write_lease(self, op: str):
+        """Exclusive write lease over the store directory.
+
+        The reference serializes mutation behind an exclusive write guard
+        (DataStoreWriteGuard, src/store/atomic.rs:8-57); without the analog,
+        a put appending to the OLD chunks generation while a compact/vacuum
+        writes the new one is silently dropped at the pointer swap. The lease
+        is an O_CREAT|O_EXCL file (atomic on POSIX) holding pid/time/op; a
+        second writer fails fast with StoreBusy (the federation router treats
+        that like readonly and waterfalls to the next store). Leases of dead
+        processes or older than _LEASE_TTL_SEC are broken — the poisoned-lock
+        recovery analog (src/error.rs:71-75).
+        """
+        import contextlib
+        import time as _time
+
+        lease_path = os.path.join(self.path, "write.lease")
+
+        @contextlib.contextmanager
+        def _ctx():
+            for attempt in (0, 1):
+                try:
+                    fd = os.open(lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if attempt == 1 or not self._lease_is_stale(lease_path):
+                        raise StoreBusy(
+                            f"{self.path}: write lease held "
+                            f"({self._lease_holder(lease_path)}) for op {op!r}"
+                        ) from None
+                    # stale (dead pid / expired): break it and retry once
+                    with contextlib.suppress(OSError):
+                        os.unlink(lease_path)
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"pid": os.getpid(), "ts": _time.time(), "op": op}, f)
+                yield
+            finally:
+                with contextlib.suppress(OSError):
+                    os.unlink(lease_path)
+
+        return _ctx()
+
+    @staticmethod
+    def _lease_holder(lease_path: str) -> str:
+        try:
+            with open(lease_path) as f:
+                return json.dumps(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            return "unreadable lease"
+
+    @classmethod
+    def _lease_is_stale(cls, lease_path: str) -> bool:
+        import time as _time
+
+        try:
+            with open(lease_path) as f:
+                lease = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            # unreadable/half-written: only age can prove staleness
+            try:
+                return _time.time() - os.path.getmtime(lease_path) > cls._LEASE_TTL_SEC
+            except OSError:
+                return True  # vanished meanwhile — treat as broken
+        if _time.time() - float(lease.get("ts", 0)) > cls._LEASE_TTL_SEC:
+            return True
+        pid = lease.get("pid")
+        if not isinstance(pid, int):
+            return True
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+            return False
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # exists, owned by another user
+
     # -- dataset accessors ---------------------------------------------------
 
     def _active_path(self, sub: str) -> str:
@@ -281,9 +362,15 @@ class Store:
         with open(tmp, "w") as f:
             json.dump(self.manifest, f, indent=2)
         os.replace(tmp, mf_path)
+        import re as _re
+
         keep = {new_dir, old}
+        # precise generation-dir match: a sibling dataset whose name merely
+        # shares the prefix (e.g. 'chunks_index' during 'chunks' maintenance)
+        # must never be swept (ADVICE r3)
+        gen_pat = _re.compile(rf"^{_re.escape(sub)}(_g[0-9a-f]{{8}})?$")
         for d in os.listdir(self.path):
-            if d.startswith(sub) and d not in keep:
+            if gen_pat.match(d) and d not in keep:
                 full = os.path.join(self.path, d)
                 if os.path.isdir(full):
                     _sh.rmtree(full, ignore_errors=True)
@@ -320,11 +407,12 @@ class Store:
         src = df.select(
             F.col(id_col).cast("long").alias("id"), F.col(data_col).alias("data")
         ).withColumn("_sz", F.length("data").cast("long"))
-        src.persist()
-        try:
-            return self._put_blobs_inner(src)
-        finally:
-            src.unpersist()
+        with self._write_lease("put_blobs"):
+            src.persist()
+            try:
+                return self._put_blobs_inner(src)
+            finally:
+                src.unpersist()
 
     def _put_blobs_inner(self, src: DataFrame) -> DataFrame:
         # one cheap pass over sizes decides which tiers exist → absent tiers
@@ -693,28 +781,30 @@ class Store:
         rewrites each hash_prefix partition into ceil(bytes/target) files and
         publishes the rewrite with an atomic manifest pointer swap
         (_commit_generation) — a concurrent reader never observes a missing
-        or half-written dataset. Single-writer op (the router guarantees one
-        writer per store)."""
+        or half-written dataset. Single-writer op, ENFORCED by the exclusive
+        write lease (_write_lease): a put racing this rewrite would append to
+        the superseded generation and be dropped at the swap."""
         import glob
         import uuid
 
         if self.readonly:
             raise StoreReadOnly(self.path)
-        chunks_path = self._active_path("chunks")
-        if not os.path.isdir(chunks_path):
-            return 0
-        df = self.chunks()
-        total = df.agg(F.coalesce(F.sum("size"), F.lit(0))).head()[0] or 0
-        n_files = max(1, int(total // target_file_bytes) + 1)
-        new_dir = f"chunks_g{uuid.uuid4().hex[:8]}"
-        (
-            df.repartition(n_files, "hash_prefix")
-            .write.mode("overwrite")
-            .partitionBy("hash_prefix")
-            .parquet(os.path.join(self.path, new_dir))
-        )
-        self._commit_generation("chunks", new_dir)
-        return len(glob.glob(os.path.join(self.path, new_dir, "*", "*.parquet")))
+        with self._write_lease("compact"):
+            chunks_path = self._active_path("chunks")
+            if not os.path.isdir(chunks_path):
+                return 0
+            df = self.chunks()
+            total = df.agg(F.coalesce(F.sum("size"), F.lit(0))).head()[0] or 0
+            n_files = max(1, int(total // target_file_bytes) + 1)
+            new_dir = f"chunks_g{uuid.uuid4().hex[:8]}"
+            (
+                df.repartition(n_files, "hash_prefix")
+                .write.mode("overwrite")
+                .partitionBy("hash_prefix")
+                .parquet(os.path.join(self.path, new_dir))
+            )
+            self._commit_generation("chunks", new_dir)
+            return len(glob.glob(os.path.join(self.path, new_dir, "*", "*.parquet")))
 
     def vacuum(self, roots: DataFrame, hkey_col: str = "hkey") -> int:
         """Mark-and-sweep GC: keep only chunks reachable from the given root
@@ -723,10 +813,15 @@ class Store:
         Content-addressed stores can't know liveness locally — the caller
         supplies the root set (e.g. a catalog of live hkeys). Returns the
         number of chunks removed. At scale this is one semi-join + rewrite,
-        same shape as compact(). Single-writer op.
+        same shape as compact(). Single-writer op, enforced by the exclusive
+        write lease (_write_lease).
         """
         if self.readonly:
             raise StoreReadOnly(self.path)
+        with self._write_lease("vacuum"):
+            return self._vacuum_inner(roots, hkey_col)
+
+    def _vacuum_inner(self, roots: DataFrame, hkey_col: str) -> int:
         if not os.path.isdir(self._active_path("chunks")):
             return 0
         parts = F.split(F.col(hkey_col), ":")

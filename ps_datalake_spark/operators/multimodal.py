@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as `binary` columns with a typed metadata
-struct, processed via Arrow-batched mapInPandas. The actual codec step is
-STUBBED (no image/audio libraries in this container): ``decode_stub``
-produces deterministic fake dimensions derived from the content hash, and
-``decode_real`` is the clearly-marked NotImplementedError seam where PIL /
-torchaudio / pyav would plug in. The Spark-side plumbing — schema, batching,
-partition behavior — is real and tested.
+struct, processed via Arrow-batched mapInPandas.
+
+Codec status: ``decode_real`` is a REAL byte-level decoder for uncompressed
+24-bit BMP, binary PPM (P6), and — via the stdlib zlib — non-interlaced
+8-bit RGB PNG including all five scanline filters (None/Sub/Up/Average/
+Paeth). JPEG remains behind ``decode_stub`` (deterministic fake dimensions
+derived from the content hash) until a codec library is available; the
+Spark-side plumbing — schema, batching, partition behavior — is identical
+for both and fully tested either way.
 """
 
 from __future__ import annotations
@@ -115,6 +118,135 @@ def encode_ppm(width: int, height: int, top_rgb, bottom_rgb) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + img.tobytes()
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, upper-left) — RFC 2083 §6.6."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, top_rgb, bottom_rgb, filter_type: int = 0) -> bytes:
+    """Minimal non-interlaced 8-bit RGB PNG (stdlib zlib only): two horizontal
+    color bands, every scanline filtered with ``filter_type`` (0-4) so a
+    decoder's unfilter paths can be exercised deliberately — the reconstructed
+    pixels are filter-independent, which is what makes the b39_decode_png
+    oracle possible."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"PNG filter type must be 0-4, got {filter_type}")
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    img[: height // 2] = top_rgb
+    img[height // 2 :] = bottom_rgb
+    stride = width * 3
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=int)
+    for y in range(height):
+        line = img[y].reshape(-1).astype(int)
+        left = np.concatenate([np.zeros(3, dtype=int), line[:-3]])
+        if filter_type == 0:
+            out = line
+        elif filter_type == 1:  # Sub
+            out = (line - left) % 256
+        elif filter_type == 2:  # Up
+            out = (line - prev) % 256
+        elif filter_type == 3:  # Average
+            out = (line - (left + prev) // 2) % 256
+        else:  # Paeth
+            upleft = np.concatenate([np.zeros(3, dtype=int), prev[:-3]])
+            pred = np.array(
+                [_paeth_predict(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)]
+            )
+            out = (line - pred) % 256
+        raw.append(filter_type)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB, no interlace
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(raw: bytes):
+    """Parse a non-interlaced 8-bit RGB PNG into a top-down RGB ndarray —
+    pure stdlib: chunk walk, zlib inflate, unfilter (all 5 filter types)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        tag = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, interlace={interlace})"
+        )
+    data = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(h):
+        ft = data[y * (stride + 1)]
+        cur = bytearray(data[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(stride):
+                cur[i] = (cur[i] + (cur[i - 3] if i >= 3 else 0)) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                upleft = prev[i - 3] if i >= 3 else 0
+                cur[i] = (cur[i] + _paeth_predict(left, prev[i], upleft)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        prev = cur
+    return out.reshape(h, w, 3)
+
+
 def _parse_bmp(raw: bytes):
     """Parse an uncompressed 24-bit BMP into a top-down RGB ndarray."""
     import numpy as np
@@ -166,12 +298,13 @@ def _parse_ppm(raw: bytes):
 
 def decode_real(blobs: DataFrame) -> DataFrame:
     """REAL image decode (no external libraries): parses uncompressed 24-bit
-    BMP and binary PPM payloads byte-by-byte — header fields, row padding,
-    bottom-up row order, BGR→RGB — and emits dimensions plus channel
-    statistics. ``top_r`` (mean red over the top half of the image) is
-    order-sensitive: a decoder that forgets the BMP row flip or the row
-    padding produces wrong values. Compressed formats (PNG/JPEG) stay behind
-    ``decode_stub`` until a codec library is available."""
+    BMP, binary PPM, and non-interlaced 8-bit RGB PNG payloads byte-by-byte —
+    header fields, row padding, bottom-up row order, BGR→RGB, zlib inflate +
+    scanline unfiltering — and emits dimensions plus channel statistics.
+    ``top_r`` (mean red over the top half of the image) is order-sensitive: a
+    decoder that forgets the BMP row flip, the row padding, or a PNG filter
+    produces wrong values. JPEG stays behind ``decode_stub`` until a codec
+    library is available."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,6 +318,8 @@ def decode_real(blobs: DataFrame) -> DataFrame:
                     img, fmt = _parse_bmp(raw), "bmp"
                 elif raw[:2] == b"P6":
                     img, fmt = _parse_ppm(raw), "ppm"
+                elif raw[:2] == b"\x89P":
+                    img, fmt = _parse_png(raw), "png"
                 else:
                     raise ValueError(f"unknown image magic {raw[:2]!r} for id {rid}")
                 h, w = img.shape[0], img.shape[1]

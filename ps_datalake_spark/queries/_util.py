@@ -38,7 +38,15 @@ def dim(df: DataFrame, sf_dir: str, table: str, threshold: int = 64 << 20) -> Da
     from pyspark.sql import functions as F
 
     try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isdir(path):
+            # multi-file parquet dataset: sum the part files — the directory
+            # inode's own size (~4KB) would broadcast-hint any table (ADVICE r3)
+            size = sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+        else:
+            size = os.path.getsize(path)
     except OSError:
         return df
     return F.broadcast(df) if size < threshold else df

@@ -516,7 +516,11 @@ def b33_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window per microbatch. A window's count only ever grows, so max(cnt) "
     "per window reduces the batch-split-dependent emission log to the final "
     "state, which must hash-match the batch-SQL window counts (converted "
-    "from rows-only in round 3).",
+    "from rows-only in round 3). ASSUMPTION (ADVICE r3): the availableNow "
+    "file source processes the single staged events file in ONE microbatch, "
+    "so the 30-minute watermark never drops out-of-order rows the batch "
+    "oracle counts; if the source were ever split into multiple batches, the "
+    "watermark would need to exceed the fixture's max event-time disorder.",
 )
 def b33_update_mode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)

@@ -919,6 +919,77 @@ def b39_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b39_decode_png",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS id,
+             (n_chars % 13) + 4 AS w,
+             ((doc_id * 7) % 11) + 4 AS h,
+             doc_id % 256 AS tr,
+             (doc_id + 91) % 256 AS br, (doc_id * 3 + 17) % 256 AS bg,
+             (doc_id * 3) % 256 AS tg, (doc_id * 7) % 256 AS tb,
+             (doc_id * 7 + 29) % 256 AS bb
+      FROM documents
+    ),
+    dims AS (SELECT *, h // 2 AS ht, h - h // 2 AS hb FROM m)
+    SELECT id,
+           'png' AS fmt,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(id % 5 AS BIGINT) AS filter_type,
+           round(CAST(w * ht * tr + w * hb * br AS DOUBLE) / (w * h), 6) AS mean_r,
+           round(CAST(w * ht * tg + w * hb * bg AS DOUBLE) / (w * h), 6) AS mean_g,
+           round(CAST(w * ht * tb + w * hb * bb AS DOUBLE) / (w * h), 6) AS mean_b,
+           round(CAST(tr AS DOUBLE), 6) AS top_r
+    FROM dims ORDER BY id
+    """,
+    tags=("B39", "llm", "multimodal"),
+    doc="REAL compressed-image codec round-trip: synthesize a two-band "
+    "non-interlaced 8-bit RGB PNG per document (stdlib zlib deflate) with "
+    "SQL-predictable dimensions and band colors, scanline-filtered with "
+    "filter type id %% 5 — so all five PNG filters (None/Sub/Up/Average/"
+    "Paeth) are exercised and decode_real must inflate + unfilter correctly "
+    "to reproduce the band statistics. The reconstructed pixels are "
+    "filter-independent, which is what makes the oracle deterministic; "
+    "byte_size is deliberately absent (zlib output length is not "
+    "SQL-expressible). top_r catches a row-order bug, mean_* catch any "
+    "unfilter bug.",
+)
+def b39_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _encode(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                w, h = nc % 13 + 4, (d * 7) % 11 + 4
+                top = (d % 256, (d * 3) % 256, (d * 7) % 256)
+                bot = ((d + 91) % 256, (d * 3 + 17) % 256, (d * 7 + 29) % 256)
+                ids.append(d)
+                blobs.append(M.encode_png(w, h, top, bot, filter_type=d % 5))
+            yield pd.DataFrame({"id": ids, "data": blobs})
+
+    blobs = docs.mapInPandas(_encode, "id bigint, data binary")
+    decoded = M.decode_real(blobs)
+    return decoded.select(
+        "id",
+        "fmt",
+        "width",
+        "height",
+        "n_pixels",
+        (F.col("id") % 5).cast("bigint").alias("filter_type"),
+        dround("mean_r", 6).alias("mean_r"),
+        dround("mean_g", 6).alias("mean_g"),
+        dround("mean_b", 6).alias("mean_b"),
+        dround("top_r", 6).alias("top_r"),
+    ).orderBy("id")
+
+
+@query(
     "b39_decode_real",
     oracle="""
     WITH m AS (

@@ -209,3 +209,88 @@ def test_convergent_encryption_properties():
     # different plaintext → different key → different ciphertext
     p2 = _blob(10_001)
     assert crypto.encrypt(p2, crypto.convergent_key(p2)) != c1
+
+
+# -- A20 analog: exclusive write lease (src/store/atomic.rs:8-57) -----------
+
+
+def _hold_lease(path: str, pid: int | None = None, age_sec: float = 0.0) -> str:
+    """Simulate another writer's lease file."""
+    import time
+
+    lease = os.path.join(path, "write.lease")
+    with open(lease, "w") as f:
+        json.dump(
+            {"pid": os.getpid() if pid is None else pid, "ts": time.time() - age_sec,
+             "op": "test"},
+            f,
+        )
+    return lease
+
+
+def test_write_lease_blocks_concurrent_mutation(store, spark):
+    """put/compact/vacuum against a store whose lease another LIVE process
+    holds must fail cleanly with StoreBusy — never interleave silently
+    (the put-during-vacuum lost-write scenario from the r3 verdict)."""
+    from ps_datalake_spark.errors import StoreBusy
+
+    store.put_blob(_blob(4096))  # some content, lease released afterwards
+    assert not os.path.exists(os.path.join(store.path, "write.lease"))
+
+    _hold_lease(store.path)  # our own live pid plays the "other writer"
+    with pytest.raises(StoreBusy):
+        store.put_blob(_blob(500))
+    with pytest.raises(StoreBusy):
+        store.compact()
+    with pytest.raises(StoreBusy):
+        store.vacuum(spark.createDataFrame([("plain:deadbeef:1",)], "hkey string"))
+    os.unlink(os.path.join(store.path, "write.lease"))
+
+    # after release: mutation works again and the lease is cleaned up
+    hk = store.put_blob(_blob(600))
+    assert store.get(hk) == _blob(600)
+    assert not os.path.exists(os.path.join(store.path, "write.lease"))
+
+
+def test_write_lease_breaks_stale_holders(store):
+    """Leases of dead pids or beyond TTL are broken (poisoned-lock recovery,
+    src/error.rs:71-75 analog), so a crashed writer never bricks the store."""
+    # dead-pid lease
+    _hold_lease(store.path, pid=2**22 + 12345)  # beyond linux default pid_max
+    hk = store.put_blob(_blob(700))
+    assert store.get(hk) == _blob(700)
+    # expired lease (live pid, ancient timestamp)
+    _hold_lease(store.path, age_sec=Store._LEASE_TTL_SEC + 10)
+    hk2 = store.put_blob(_blob(800))
+    assert store.get(hk2) == _blob(800)
+    assert not os.path.exists(os.path.join(store.path, "write.lease"))
+
+
+def test_lake_waterfall_skips_busy_store(spark, tmp_path):
+    """Federation put must treat a busy store like a readonly one: waterfall
+    to the next writable store instead of failing the write."""
+    cfg = LakeConfig(
+        stores=(
+            StoreEntry(filename=str(tmp_path / "busy1")),
+            StoreEntry(filename=str(tmp_path / "idle2")),
+        )
+    )
+    lake = Lake.open(spark, cfg, prefix_len=1)
+    _hold_lease(str(tmp_path / "busy1"))
+    hk = lake.put_blob(_blob(900))
+    assert lake.get(hk) == _blob(900)
+    # landed in the second store
+    assert lake.writable[1].has(hk.split(":")[1])
+
+
+def test_commit_generation_spares_prefix_sharing_siblings(store, spark):
+    """Maintenance of 'chunks' must not sweep a sibling dataset whose name
+    merely shares the prefix (ADVICE r3: bare startswith matching)."""
+    decoy = os.path.join(store.path, "chunks_index")
+    os.makedirs(decoy, exist_ok=True)
+    with open(os.path.join(decoy, "marker"), "w") as f:
+        f.write("keep me")
+    store.put_blob(_blob(4096))
+    store.compact()
+    store.compact()  # second rotation sweeps generation N-2
+    assert os.path.exists(os.path.join(decoy, "marker")), "decoy dir was swept"

@@ -144,3 +144,78 @@ def test_simhash_is_deterministic_and_selective(spark, sf_dir):
     pairs = D.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
     n_docs = docs.count()
     assert len(pairs) < n_docs * 5, "simhash should be selective, not all-pairs"
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode_png/_parse_png: every scanline filter type (None/Sub/Up/
+    Average/Paeth) must reconstruct the identical pixel array — byte-level,
+    no Spark involved. Uses a gradient+bands image so filters see nonzero
+    deltas in both axes (uniform bands alone would under-exercise Paeth)."""
+    import numpy as np
+
+    from ps_datalake_spark.operators import multimodal as M
+
+    for ft in range(5):
+        for w, h in ((1, 1), (4, 7), (13, 5)):
+            raw = M.encode_png(w, h, (10, 200, 30), (255, 0, 127), filter_type=ft)
+            img = M._parse_png(raw)
+            want = np.zeros((h, w, 3), dtype=np.uint8)
+            want[: h // 2] = (10, 200, 30)
+            want[h // 2 :] = (255, 0, 127)
+            assert img.shape == (h, w, 3), (ft, w, h)
+            assert (img == want).all(), f"filter {ft} {w}x{h} mismatch"
+
+    # adversarial content: deterministic pseudo-random pixels, all filters
+    rng = np.random.RandomState(7)
+    for ft in range(5):
+        pix = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)
+        # build via the private path: monkey-encode by temporarily treating
+        # the random image as bands is impossible, so filter the actual
+        # array through encode internals — re-encode with filter 0 via zlib
+        import struct
+        import zlib
+
+        stride = 9 * 3
+        body = bytearray()
+        prev = np.zeros(stride, dtype=int)
+        for y in range(6):
+            line = pix[y].reshape(-1).astype(int)
+            left = np.concatenate([np.zeros(3, dtype=int), line[:-3]])
+            if ft == 0:
+                out = line
+            elif ft == 1:
+                out = (line - left) % 256
+            elif ft == 2:
+                out = (line - prev) % 256
+            elif ft == 3:
+                out = (line - (left + prev) // 2) % 256
+            else:
+                upleft = np.concatenate([np.zeros(3, dtype=int), prev[:-3]])
+                pred = np.array(
+                    [M._paeth_predict(int(a), int(b), int(c))
+                     for a, b, c in zip(left, prev, upleft)]
+                )
+                out = (line - pred) % 256
+            body.append(ft)
+            body.extend(out.astype(np.uint8).tobytes())
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", 9, 6, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + M._png_chunk(b"IHDR", ihdr)
+            + M._png_chunk(b"IDAT", zlib.compress(bytes(body)))
+            + M._png_chunk(b"IEND", b"")
+        )
+        got = M._parse_png(png)
+        assert (got == pix).all(), f"random-content filter {ft} mismatch"
+
+
+def test_png_rejects_unsupported_variants():
+    import pytest as _pytest
+
+    from ps_datalake_spark.operators import multimodal as M
+
+    with _pytest.raises(ValueError):
+        M._parse_png(b"NOTAPNG")
+    with _pytest.raises(ValueError):
+        M.encode_png(2, 2, (0, 0, 0), (1, 1, 1), filter_type=9)
