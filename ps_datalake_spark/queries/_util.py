@@ -37,19 +37,23 @@ def dim(df: DataFrame, sf_dir: str, table: str, threshold: int = 64 << 20) -> Da
     """
     from pyspark.sql import functions as F
 
+    size = table_bytes(sf_dir, table)
+    if size is None:
+        return df
+    return F.broadcast(df) if size < threshold else df
+
+
+def table_bytes(sf_dir: str, table: str) -> int | None:
+    """On-disk bytes of a fixture table (None if unknown). For directory
+    datasets, sums the part files — the directory inode's own size (~4KB)
+    would broadcast-hint any table (ADVICE r3)."""
     try:
         path = os.path.join(sf_dir, f"{table}.parquet")
         if os.path.isdir(path):
-            # multi-file parquet dataset: sum the part files — the directory
-            # inode's own size (~4KB) would broadcast-hint any table (ADVICE r3)
-            size = sum(
-                e.stat().st_size for e in os.scandir(path) if e.is_file()
-            )
-        else:
-            size = os.path.getsize(path)
+            return sum(e.stat().st_size for e in os.scandir(path) if e.is_file())
+        return os.path.getsize(path)
     except OSError:
-        return df
-    return F.broadcast(df) if size < threshold else df
+        return None
 
 
 def dround(col, scale: int = 0):

