@@ -52,6 +52,29 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer (GPT-2-shaped, simplified): letter runs, digit
+# runs, single punctuation runs — the unit a byte-pair tokenizer would merge
+# from.  Alternation is leftmost-first in both Java regex (Spark) and RE2
+# (DuckDB), and only literal character classes are used, so the SAME pattern
+# string is portable across the engine and the oracle.
+BPE_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Training-cost estimator stats: BPE-ish pre-token count vs whitespace
+    word count per document (JVM regexp_count — no Python in the hot path).
+    A real tokenizer splits further via merges, so the pre-token count is a
+    deterministic lower bound with the right shape for budgeting."""
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN))
+    words = F.size(tokenize(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        words.cast("bigint").alias("n_words"),
+        (bpe.cast("double") / F.greatest(words, F.lit(1))).alias("bpe_per_word"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-word language guess: argmax of per-language marker hits
     (deterministic: ties break alphabetically via the struct max)."""

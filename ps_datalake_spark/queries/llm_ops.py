@@ -432,6 +432,39 @@ def b37_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b37_token_count_bpe",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(bpe AS BIGINT) AS n_bpe_tokens,
+           CAST(words AS BIGINT) AS n_words,
+           round(CAST(bpe AS DOUBLE) / greatest(words, 1), 4) AS bpe_per_word
+    FROM c ORDER BY doc_id
+    """,
+    tags=("B37", "llm"),
+    doc="BPE-ish pre-tokenizer counting (letter runs / digit runs / "
+    "punctuation runs) vs whitespace words — the training-cost budgeting "
+    "metric. The identical pattern string runs in Spark's Java regex and "
+    "DuckDB's RE2 (leftmost-first alternation, literal classes only), so the "
+    "counts hash-match exactly.",
+)
+def b37_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    st = X.bpe_token_stats(docs, "doc_id", "text")
+    return st.select(
+        "doc_id",
+        "n_bpe_tokens",
+        "n_words",
+        dround("bpe_per_word", 4).alias("bpe_per_word"),
+    ).orderBy("doc_id")
+
+
+@query(
     "b37_lang_id",
     oracle=r"""
     WITH toks AS (

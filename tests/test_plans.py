@@ -84,3 +84,15 @@ def test_semi_anti_join_operators(spark, sf_dir):
     anti = _formatted_plan(SPECS["b07_anti_join"].build(spark, sf_dir))
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+def test_q5_broadcast_chain_no_fact_shuffle(spark, sf_dir):
+    """At broadcastable dimension sizes, Q5 must be a single pass over
+    lineitem through broadcast joins: no SortMergeJoin, no Exchange of the
+    lineitem scan, and the date filter pushed into the orders scan. Guards
+    the round-4 rewrite (transitive ASIA pushdown + size-aware build sides)
+    against the static planner regressing to broadcasting the FACT side."""
+    plan = _formatted_plan(SPECS["b05_tpch_q5"].build(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, "fact table must not be shuffle-joined at small SF"
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "date filter must reach the orders scan"
