@@ -258,6 +258,47 @@ def b48_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b50_clustered_skip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS sum_val
+    FROM events
+    WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts::TIMESTAMP <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("B2", "B4", "skip"),
+    doc="Clustered write + data skipping: events are range-partitioned and "
+    "sorted by ts into parquet (the layout a 100 TB event lake clusters on "
+    "its query key), then a 2-day slice is aggregated from the clustered "
+    "copy. Because each file covers a narrow ts range, the pushed-down range "
+    "predicate (plan-asserted) lets the scan skip all non-overlapping "
+    "files/row-groups via parquet min/max stats — the same rows come back "
+    "as from the unclustered oracle scan, proving the rewrite is "
+    "organization-only.",
+)
+def b50_clustered_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("clustered_events")
+    ev = T(spark, sf_dir, "events").select("ts", "event_type", "value")
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    clustered = spark.read.parquet(path)
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("2024-01-12 00:00:00").cast("timestamp_ntz")
+    return (
+        clustered.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), dround(F.sum("value"), 2).alias("sum_val"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # B3 / B4 — projection + filters
 # ---------------------------------------------------------------------------

@@ -96,3 +96,13 @@ def test_q5_broadcast_chain_no_fact_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan, "fact table must not be shuffle-joined at small SF"
     assert plan.count("BroadcastHashJoin") >= 3
     assert "GreaterThanOrEqual(o_orderdate" in plan, "date filter must reach the orders scan"
+
+
+def test_clustered_skip_pushes_range_filter(spark, sf_dir):
+    """b50_clustered_skip's scan of the ts-clustered copy must carry the
+    pushed-down range predicate — that is what turns the clustered layout
+    into file/row-group skipping via parquet min/max stats."""
+    plan = _formatted_plan(SPECS["b50_clustered_skip"].build(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ts" in plan, "ts lower bound must reach the scan"
+    assert "LessThan(ts" in plan, "ts upper bound must reach the scan"
