@@ -50,7 +50,14 @@ from .hkey import Hkey
 MAGIC = "datalake/v1"
 SENTINEL = b"<< DATA SEGMENT BEGINS HERE >>"
 
-MAX_SIZE_RAW = 128  # inline threshold (reference: MAX_SIZE_RAW in ps-hkey)
+# Default inline threshold. The reference's MAX_SIZE_RAW constant lives in
+# its unvendored ps-hkey dependency (/root/reference/src/store/mod.rs:400,429;
+# BASELINE.md), so the true value is unknowable from public source — hence a
+# per-store CONFIG KNOB (`inline_max` in manifest.json, set at create) rather
+# than a hard constant: a deployment matching a known reference value just
+# sets it, and every routing decision plus the sentinel layout follows the
+# recorded manifest value, not this default.
+MAX_SIZE_RAW = 128
 MAX_DECRYPTED_SIZE = 1 << 20  # single-chunk ceiling (reference: MAX_DECRYPTED_SIZE)
 TREE_CHUNK_SIZE = 256 << 10  # chunk-tree split size
 _AEAD_OVERHEAD = 16  # allowed ciphertext growth before the A12 plain fallback
@@ -144,6 +151,9 @@ class Store:
         self.manifest = manifest
         self.prefix_len = int(manifest.get("prefix_len", 2))
         self.quota_bytes = manifest.get("quota_bytes")
+        # per-store inline threshold (see MAX_SIZE_RAW comment): older
+        # manifests without the field keep the historical default
+        self.inline_max = int(manifest.get("inline_max", MAX_SIZE_RAW))
 
     # -- lifecycle (A1 / A4 / A5) -------------------------------------------
 
@@ -154,13 +164,17 @@ class Store:
         path: str,
         prefix_len: int = 2,
         quota_bytes: int | None = None,
+        inline_max: int = MAX_SIZE_RAW,
     ) -> "Store":
+        if not 0 <= inline_max <= MAX_DECRYPTED_SIZE:
+            raise ValueError(f"inline_max out of range: {inline_max}")
         os.makedirs(path, exist_ok=True)
         manifest = {
             "magic": MAGIC,
             "prefix_len": prefix_len,
             "cipher": crypto.cipher_name(),
             "quota_bytes": quota_bytes,
+            "inline_max": inline_max,
         }
         with open(os.path.join(path, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
@@ -170,7 +184,7 @@ class Store:
         # one 158-byte row.
         import hashlib
 
-        plain = SENTINEL + b"\0" * MAX_SIZE_RAW
+        plain = SENTINEL + b"\0" * inline_max
         key = crypto.convergent_key(plain)
         cipher = crypto.encrypt_as(manifest["cipher"], plain, key)
         row = (
@@ -216,6 +230,9 @@ class Store:
         prefix_len = manifest.get("prefix_len")
         if not isinstance(prefix_len, int) or not (1 <= prefix_len <= 8):
             raise Corrupted(f"invalid prefix_len: {prefix_len!r}")
+        inline_max = manifest.get("inline_max", MAX_SIZE_RAW)
+        if not isinstance(inline_max, int) or not (0 <= inline_max <= MAX_DECRYPTED_SIZE):
+            raise Corrupted(f"invalid inline_max: {inline_max!r}")
         cipher = manifest.get("cipher")
         if cipher not in crypto.KNOWN_CIPHERS:
             raise Corrupted(f"unknown store cipher: {cipher!r}")
@@ -418,16 +435,16 @@ class Store:
         # one cheap pass over sizes decides which tiers exist → absent tiers
         # cost zero jobs (important: most workloads are single-tier)
         tier_counts = src.agg(
-            F.sum((F.col("_sz") <= MAX_SIZE_RAW).cast("long")).alias("n_raw"),
+            F.sum((F.col("_sz") <= self.inline_max).cast("long")).alias("n_raw"),
             F.sum(
-                ((F.col("_sz") > MAX_SIZE_RAW) & (F.col("_sz") <= MAX_DECRYPTED_SIZE)).cast(
+                ((F.col("_sz") > self.inline_max) & (F.col("_sz") <= MAX_DECRYPTED_SIZE)).cast(
                     "long"
                 )
             ).alias("n_mid"),
             F.sum((F.col("_sz") > MAX_DECRYPTED_SIZE).cast("long")).alias("n_big"),
             F.coalesce(F.sum("_sz"), F.lit(0)).alias("total"),
             F.coalesce(
-                F.sum(F.when(F.col("_sz") <= MAX_SIZE_RAW, F.col("_sz")).otherwise(0)),
+                F.sum(F.when(F.col("_sz") <= self.inline_max, F.col("_sz")).otherwise(0)),
                 F.lit(0),
             ).alias("raw_bytes"),
         ).head()
@@ -451,7 +468,7 @@ class Store:
         # raw tier: inline base64url hkey, nothing stored (A11/A14 fast path)
         if n_raw:
             hkey_parts.append(
-                src.where(F.col("_sz") <= MAX_SIZE_RAW).select(
+                src.where(F.col("_sz") <= self.inline_max).select(
                     "id",
                     # translate() also strips the \r\n that Spark 3.3-3.5's
                     # RFC-2045 MIME-chunked base64() inserts every 76 chars
@@ -468,7 +485,7 @@ class Store:
         mid_enc = None
         if n_mid:
             mid = src.where(
-                (F.col("_sz") > MAX_SIZE_RAW) & (F.col("_sz") <= MAX_DECRYPTED_SIZE)
+                (F.col("_sz") > self.inline_max) & (F.col("_sz") <= MAX_DECRYPTED_SIZE)
             )
             mid_enc = (
                 mid.select("id", "data")
@@ -839,7 +856,7 @@ class Store:
         )
         import hashlib as _hl
 
-        sentinel_plain = SENTINEL + b"\0" * MAX_SIZE_RAW
+        sentinel_plain = SENTINEL + b"\0" * self.inline_max
         # the sentinel was written at create time under the cipher recorded in
         # the manifest; recomputing with the current environment's cipher
         # would mis-hash it and garbage-collect the reference page-0 analog
