@@ -284,6 +284,10 @@ def _time_spark(spark, specs, names, sf_dir, cpus, light_aqe=False) -> dict[str,
         else:
             _apply_profile(spark, sf_dir, cpus, aqe=light_aqe)
             df = specs[name].build(spark, sf_dir)
+            # 3 warmups: tiered JIT keeps improving past the second execution
+            # (measured: q1 settles 0.46→0.29 over ~5 runs), and min-of-3
+            # after only 2 warmups still catches pre-warm numbers
+            _force(df)
             _force(df)
             _force(df)
             best = float("inf")

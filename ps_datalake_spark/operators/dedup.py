@@ -24,6 +24,23 @@ def tokenize(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure enough partitions to parallelize an Arrow-batched Python pass.
+
+    A small corpus under a large maxPartitionBytes scans as 1-2 tasks, which
+    serializes the per-document Python work (shingling/signatures) onto one
+    worker — measured 13.6 s for the 10x-scale MinHash pass that the cluster
+    should spread 32-way. Conditional: at real scale the scan already has
+    plenty of splits and the repartition (a full shuffle of raw text) would
+    be pure waste, so only widen when the source is narrower than half the
+    available parallelism."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (JVM-side, no UDF).
 
@@ -55,7 +72,12 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+    spread: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
 
@@ -96,11 +118,13 @@ def jaccard_pairs(
                 {"doc": pd.Series(out_doc, dtype="int64"), "sh": pd.Series(out_sh, dtype="int64")}
             )
 
-    sh = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
-        .mapInPandas(_shingle_rows, "doc long, sh long")
-        .persist()
-    )
+    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    # spread=False lets a caller whose input is already post-shuffle (e.g. the
+    # b42 pipeline after its dedup window) skip the widening exchange, which
+    # at small scale costs more than the Python pass it parallelizes
+    sh = (_spread(src) if spread else src).mapInPandas(
+        _shingle_rows, "doc long, sh long"
+    ).persist()
     try:
         sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
         a = sh.alias("a")
@@ -178,7 +202,7 @@ def minhash_signatures(
                 }
             )
 
-    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    src = _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text")))
     return src.mapInPandas(_sign, "doc long, sig array<long>")
 
 
@@ -337,7 +361,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             out[i] = np.int64(fp.view(np.int64)) if isinstance(fp, np.uint64) else int(fp)
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("doc"), _simhash(F.col(text_col)).alias("simhash"))
+    return _spread(df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))).select(
+        "doc", _simhash(F.col("text")).alias("simhash")
+    )
 
 
 def simhash_neardup_pairs(

@@ -793,7 +793,9 @@ def b42_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256)).orderBy("doc_id")
     exact_kept = quality.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    near = D.jaccard_pairs(exact_kept, "doc_id", "text", n=3, threshold=0.5)
+    # spread=False: exact_kept is post-shuffle (dedup window) — already as
+    # wide as AQE wants; the auto-widening exchange would only add a stage
+    near = D.jaccard_pairs(exact_kept, "doc_id", "text", n=3, threshold=0.5, spread=False)
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = exact_kept.join(drop, "doc_id", "left_anti").select("doc_id", "text")
     survivors = survivors.persist()
