@@ -37,6 +37,35 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom != 0, dot(a, b) / denom)
 
 
+def quantize_int8(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage-compression path
+    of a 100 TB embedding store (4× smaller than float32, 8× than float64).
+
+    scale = max(|v|)/127; q_i = floor(v_i/scale + 0.5) clamped to [-127,127]
+    (explicit half-up floor so an oracle reproduces the exact integers —
+    engine round() half-even/half-up differences never enter). Zero vectors
+    quantize to zeros with scale 0. Everything is JVM higher-order
+    expressions: no Python, shuffle-free, embarrassingly parallel."""
+    v = _as_double(vec_col)
+    absmax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127), F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int"))
+            ),
+        )
+    )
+    return emb.select(
+        F.col(id_col),
+        scale.alias("q_scale"),
+        q.alias("q"),
+        F.transform(q, lambda qi: qi.cast("double") * scale).alias("dequant"),
+        v.alias("_orig"),
+    )
+
+
 def cosine_topk(
     emb: DataFrame, id_col: str, vec_col: str, query_ids: list[int], k: int = 3
 ) -> DataFrame:

@@ -392,6 +392,72 @@ def b36_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b51_embedding_quant",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (
+      SELECT vec_id, v,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS s
+      FROM e
+    ),
+    qq AS (
+      SELECT vec_id, v, s,
+             CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> greatest(-127,
+                       least(127, CAST(floor(x / s + 0.5) AS INTEGER)))) END AS qv
+      FROM q
+    ),
+    d AS (
+      SELECT vec_id, v, s, qv, list_transform(qv, x -> x * s) AS dq FROM qq
+    ),
+    named AS (SELECT vec_id, s, qv, v, dq AS w FROM d),
+    scored AS (
+      SELECT vec_id, s, qv,
+             list_aggregate(list_transform(generate_series(1, len(v)),
+                            i -> abs(v[i] - w[i])), 'max') AS max_err,
+             list_aggregate(list_transform(generate_series(1, len(v)), i -> v[i] * w[i]), 'sum')
+             / (sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(w, x -> x * x), 'sum'))) AS cosf
+      FROM named
+    )
+    SELECT vec_id,
+           round(s, 6) AS q_scale,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_checksum,
+           round(max_err, 6) AS max_abs_err,
+           round(cosf * 10000) / 10000 AS cos_fidelity
+    FROM scored ORDER BY vec_id
+    """,
+    tags=("B51", "llm"),
+    doc="Symmetric int8 embedding quantization (the 4-8× storage-compression "
+    "path of a 100 TB embedding store): per-vector scale = max|v|/127, "
+    "half-up clamped integers, dequantized fidelity checked as max absolute "
+    "reconstruction error + cosine(original, dequantized). All JVM "
+    "higher-order expressions, shuffle-free; the explicit floor(x+0.5) "
+    "rounding makes every integer — and hence every derived metric — "
+    "bit-reproducible in the DuckDB oracle.",
+)
+def b51_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    qd = S.quantize_int8(emb, "vec_id", "embedding")
+    err = F.aggregate(
+        F.zip_with(F.col("_orig"), F.col("dequant"), lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    checksum = F.aggregate(
+        F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
+    )
+    cosf = S.cosine(F.col("_orig"), F.col("dequant"))
+    return qd.select(
+        "vec_id",
+        dround("q_scale", 6).alias("q_scale"),
+        checksum.alias("q_checksum"),
+        dround(err, 6).alias("max_abs_err"),
+        dround(cosf, 4).alias("cos_fidelity"),
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # B37 — text analysis
 # ---------------------------------------------------------------------------
