@@ -10,7 +10,7 @@ pathological key inside one partition).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -67,3 +67,22 @@ def salted_join(
     )
     out = big_s.join(small_s, [on, salt_col], how)
     return out.drop(salt_col)
+
+
+def zorder2(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative int columns — the
+    multi-dimensional clustering key a 100 TB lake sorts on so parquet
+    min/max stats prune on BOTH dimensions at once (1-D sorting only skips
+    on its own column). Pure JVM bitwise expressions (2*bits shift/or terms,
+    whole-stage-codegen friendly); callers mask inputs to `bits` bits."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+        )
+        acc = acc.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1
+            )
+        )
+    return acc

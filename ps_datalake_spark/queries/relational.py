@@ -299,6 +299,60 @@ def b50_clustered_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b52_zorder_skip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+    FROM events
+    WHERE user_id BETWEEN 100 AND 140
+      AND ts::TIMESTAMP >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts::TIMESTAMP <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("B2", "B4", "skip"),
+    doc="Z-order (Morton) clustering + 2-D data skipping: events are "
+    "range-partitioned and sorted on the bit-interleave of (user_id, "
+    "ts-minute), then a query selective on BOTH dimensions reads the "
+    "clustered copy. Unlike 1-D sorting (b50), the Morton layout keeps "
+    "min/max file stats tight on the two dimensions simultaneously, so the "
+    "pushed-down conjunction (plan-asserted) prunes on user AND time. "
+    "Clustering is organization-only — the plain-scan oracle matches "
+    "exactly.",
+)
+def b52_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import zorder2
+
+    path = scratch_dir("zorder_events")
+    ev = T(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    z = zorder2(
+        F.col("user_id").bitwiseAND(F.lit(0xFFFF)),
+        (F.unix_timestamp(F.col("ts").cast("timestamp")) / 60).cast("long").bitwiseAND(
+            F.lit(0xFFFF)
+        ),
+    )
+    (
+        ev.withColumn("_z", z)
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    clustered = spark.read.parquet(path)
+    lo = F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    return (
+        clustered.where(
+            F.col("user_id").between(100, 140) & (F.col("ts") >= lo) & (F.col("ts") < hi)
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("user_id").cast("bigint").alias("user_sum"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # B3 / B4 — projection + filters
 # ---------------------------------------------------------------------------

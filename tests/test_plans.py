@@ -106,3 +106,13 @@ def test_clustered_skip_pushes_range_filter(spark, sf_dir):
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(ts" in plan, "ts lower bound must reach the scan"
     assert "LessThan(ts" in plan, "ts upper bound must reach the scan"
+
+
+def test_zorder_skip_pushes_both_dimensions(spark, sf_dir):
+    """b52_zorder_skip: the conjunction over user_id AND ts must reach the
+    clustered-copy scan — 2-D pruning is the point of the Morton layout."""
+    plan = _formatted_plan(SPECS["b52_zorder_skip"].build(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(user_id,100)" in plan
+    assert "LessThanOrEqual(user_id,140)" in plan
+    assert "GreaterThanOrEqual(ts" in plan
