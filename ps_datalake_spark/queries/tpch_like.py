@@ -1,6 +1,7 @@
-"""Recognizable TPC-H query shapes (Q3/Q5/Q6) adapted to the driver schema
-(FIXTURES.md; dates shifted to the generated 1995–2001 range). Q5 brings the
-supplier table into play. Q1 lives in relational.py as b10_tpch_q1."""
+"""Recognizable TPC-H query shapes (Q3/Q4/Q5/Q6/Q10/Q12/Q14/Q18/Q19/Q22)
+adapted to the driver schema (FIXTURES.md; dates shifted to the generated
+1995-2001 range; columns the slimmed fixture lacks are substituted per-query
+with the same plan shape). Q1 lives in relational.py as b10_tpch_q1."""
 
 from __future__ import annotations
 
@@ -301,4 +302,208 @@ def b10_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H extension pack (round 4): Q4 / Q12 / Q14 / Q19 / Q22 adapted to the
+# driver fixture's slimmed schemas (no l_shipmode/l_commitdate/l_receiptdate,
+# no p_container, no c_phone — each query notes its substitution). Five more
+# distinct plan shapes: correlated-EXISTS semi-join, conditional-count join,
+# conditional-ratio aggregate, disjunctive multi-table predicate, scalar
+# subquery + NOT-EXISTS anti-join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b53_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("B7", "B10", "tpch"),
+    doc="TPC-H Q4 (order priority checking): correlated EXISTS planned as a "
+    "left-semi join with a non-equi conjunct (shipped-after-ordered stands "
+    "in for the fixture's missing commit/receipt dates).",
+)
+def b53_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "b53_tpch_q12",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate::DATE, l_shipdate::DATE) <= 30
+                THEN 'fast' ELSE 'slow' END AS delay_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY delay_bucket ORDER BY delay_bucket
+    """,
+    tags=("B5", "B10", "tpch"),
+    doc="TPC-H Q12 (shipping priority by mode): ship-delay buckets stand in "
+    "for the fixture's missing l_shipmode; conditional counts of "
+    "high/low-priority orders per bucket over the orders⋈lineitem join.",
+)
+def b53_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) <= 30, "fast"
+    ).otherwise("slow")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@query(
+    "b53_tpch_q14",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) * 10000) / 10000
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    tags=("B5", "B10", "tpch"),
+    doc="TPC-H Q14 (promotion effect): conditional-ratio aggregate over one "
+    "month of lineitem joined to a broadcast part dimension (p_type='PROMO' "
+    "is the fixture's exact-value analog of the PROMO%% prefix match).",
+)
+def b53_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = dim(T(spark, sf_dir, "part"), sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dround(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "b53_tpch_q19",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("B4", "B5", "tpch"),
+    doc="TPC-H Q19 (discounted revenue): three-branch disjunctive predicate "
+    "spanning both join sides — Catalyst must split the per-table disjuncts "
+    "(brand/size to the part scan, quantity post-join) rather than "
+    "evaluating the whole OR after the join.",
+)
+def b53_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    p = dim(T(spark, sf_dir, "part"), sf_dir, "part")
+    branch = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "b53_tpch_q22",
+    oracle="""
+    WITH ab AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal) * 100) / 100 AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("B7", "B10", "tpch"),
+    doc="TPC-H Q22 (global sales opportunity): scalar-subquery threshold "
+    "(broadcast 1-row cross join) + NOT-EXISTS anti-join. Adapted to the "
+    "fixture: market segment replaces the missing phone country code, and "
+    "'no orders since 2000' replaces 'no orders ever' (every fixture "
+    "customer has at least one order).",
+)
+def b53_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
+    recent = T(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            dround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
     )
