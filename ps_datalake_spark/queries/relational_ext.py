@@ -226,3 +226,49 @@ def b49_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+@query(
+    "b54_fuzzy_name_match",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    ORDER BY id_a, id_b
+    """,
+    tags=("B21", "B5", "llm"),
+    doc="Fuzzy name matching: edit-distance near-duplicate pairs over the "
+    "part catalog, BLOCKED by (brand, size) so the pair space is a keyed "
+    "equi-join per block — never an all-pairs cartesian (the standard "
+    "blocking discipline for fuzzy dedup at scale; levenshtein is O(m*n) "
+    "per pair, so bounding the candidate set is what makes 100 TB "
+    "feasible). Spark's levenshtein and DuckDB's implement the same "
+    "unweighted DP, so distances hash-match exactly.",
+)
+def b54_fuzzy_name_match(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ._util import T
+
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(dist <= 8)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
