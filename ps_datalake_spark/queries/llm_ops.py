@@ -650,21 +650,72 @@ def b35_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted corpus for b37_tfidf_ml: a fixed 12-doc corpus over a 24-token
+# vocabulary VERIFIED collision-free under HashingTF(numFeatures=2^16)
+# (murmur3 buckets checked distinct; see tests/test_llm_golden.py).  With no
+# bucket collisions the ML pipeline's TF-IDF weights equal the textbook
+# formula tf * ln((m+1)/(df+1)), which DuckDB computes from the same
+# hardcoded texts — turning the formerly engine-internal HashingTF norm into
+# a value-level oracle.  English stopwords are planted into every doc so
+# StopWordsRemover is load-bearing: the oracle must exclude them to match.
+_TFIDF_VOCAB = (
+    "zorple", "quandrix", "flumet", "braskin", "drovex", "miquel", "tarvish",
+    "oblint", "crennuf", "suvark", "pleniza", "gorvath", "yintrel", "huskaph",
+    "vexomir", "dantrip", "koblenz", "ruvexia", "stampok", "whirvel",
+    "axelmor", "prindle", "ovestka", "lumbrix",
+)
+_TFIDF_STOPWORDS = ("the", "and", "of")
+
+
+def _tfidf_corpus() -> list[tuple[int, str]]:
+    docs = []
+    for i in range(12):
+        toks = []
+        for j in range(8):
+            toks.extend([_TFIDF_VOCAB[(i * 5 + j * 2) % 24]] * (1 + (i + j) % 4))
+            toks.append(_TFIDF_STOPWORDS[(i + j) % 3])
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+def _tfidf_oracle() -> str:
+    values = ", ".join(f"({i}, '{t}')" for i, t in _tfidf_corpus())
+    stop = ", ".join(f"'{s}'" for s in _TFIDF_STOPWORDS)
+    return f"""
+    WITH corpus(doc_id, text) AS (VALUES {values}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus
+    ),
+    kept AS (SELECT doc_id, term FROM toks WHERE term NOT IN ({stop})),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY 1, 2),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY 1),
+    m AS (SELECT count(*) AS m FROM corpus),
+    w AS (SELECT doc_id, tf * ln((m + 1.0) / (df + 1.0)) AS w
+          FROM tf JOIN dfq USING (term) CROSS JOIN m)
+    SELECT doc_id, round(sqrt(sum(w * w)), 4) AS tfidf_norm
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 @query(
     "b37_tfidf_ml",
-    oracle=None,  # HashingTF bucket ids are engine-internal
+    oracle=_tfidf_oracle(),
     tags=("B37", "llm", "ml"),
     doc="Spark-ML text pipeline: Tokenizer → StopWordsRemover → HashingTF → "
-    "IDF; emits per-doc feature norms (deterministic). The exact join-based "
-    "b37_tfidf_top remains the oracle-checked counterpart.",
+    "IDF over a planted fixed corpus whose 24-token vocabulary is verified "
+    "collision-free under HashingTF(2^16), making the feature norms equal "
+    "the textbook TF-IDF formula the DuckDB oracle computes from the same "
+    "texts (converted from rows-only in round 5; planted-oracle pattern). "
+    "Planted stopwords make StopWordsRemover load-bearing. The join-based "
+    "b37_tfidf_top covers the real documents table.",
 )
 def b37_tfidf_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import IDF, HashingTF, StopWordsRemover, Tokenizer
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spark.createDataFrame(_tfidf_corpus(), ["doc_id", "text"])
     words = Tokenizer(inputCol="text", outputCol="words").transform(docs)
     clean = StopWordsRemover(inputCol="words", outputCol="clean").transform(words)
-    tf = HashingTF(inputCol="clean", outputCol="tf", numFeatures=1 << 12).transform(clean)
+    tf = HashingTF(inputCol="clean", outputCol="tf", numFeatures=1 << 16).transform(clean)
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     out = idf_model.transform(tf)
 

@@ -178,9 +178,7 @@ _DRIVER_GREEN_R03 = frozenset(
 # Round-4 priority: queries that were rows-only (`err: no_oracle`) through
 # round 3 and gain a deterministic oracle this round (planted exact
 # duplicates / pure-Python XXH64 prediction) — they need a fresh driver row
-# to prove the new oracle hash-matches. b37_tfidf_ml is NOT converted
-# (HashingTF bucket collisions make the norm engine-internal); it keeps its
-# recorded rows-only evidence and rotates behind the window.
+# to prove the new oracle hash-matches.
 _CONVERTED_IN_R04 = frozenset(
     {
         "b35_minhash_lsh",
@@ -190,28 +188,54 @@ _CONVERTED_IN_R04 = frozenset(
     }
 )
 
+# The 50 queries with a green (rows+schema+hash) driver row in round 4's
+# CORRECTNESS_r04.json — the NEWEST evidence, rotated to the back for round 5.
+_DRIVER_GREEN_R04 = frozenset(
+    {
+        "b04_tpch_q6", "b05_tpch_q5", "b10_collect_agg", "b10_tpch_q3",
+        "b12_approx_percentile", "b13_pivot", "b14_rank_ext",
+        "b18_topk_per_group", "b19_union", "b20_setops", "b21_strings",
+        "b21_strings_ext", "b22_dates", "b22_dates_ext", "b23_bitwise",
+        "b23_math", "b23_trig", "b24_conditional", "b24_try_funcs",
+        "b25_array_construct", "b25_array_explode", "b25_array_funcs",
+        "b25_array_setops", "b25_explode_outer", "b25_zip_with", "b26_maps",
+        "b27_json", "b35_minhash_lsh", "b35_minhash_ml", "b35_simhash",
+        "b37_token_count_bpe", "b39_decode_png", "b39_frame_sample",
+        "b40_sql_correlated", "b40_sql_cte", "b43_stratified_sample",
+        "b43_train_val_test_split", "b44_rollup_cascade",
+        "b45_cohort_retention", "b45_funnel", "b45_histogram",
+        "b50_clustered_skip", "b51_embedding_quant", "b52_zorder_skip",
+        "b53_tpch_q12", "b53_tpch_q14", "b53_tpch_q19", "b53_tpch_q22",
+        "b53_tpch_q4", "b54_fuzzy_name_match",
+    }
+)
+
+# Round-5 priority: b37_tfidf_ml — the last rows-only query — gains a
+# value-level oracle this round (planted fixed corpus with a hardcoded
+# vocabulary verified collision-free under HashingTF, so the ML pipeline's
+# norms equal the textbook TF-IDF formula DuckDB can compute).
+_CONVERTED_IN_R05 = frozenset({"b37_tfidf_ml"})
+
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules on first access so the registry is populated.
     from . import queries as _  # noqa: F401
 
     # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
-    # Round-4 window = rank 0 (brand-new r4 queries + the five rows-only →
-    # oracle conversions) + rank 1 (r1-green evidence never re-verified since
-    # round 1 — three rounds old) + as many rank-2 r2-greens as fit; the 50
-    # r3-verified queries (freshest evidence) rotate to the back.
+    # Round-5 window = rank 0 (brand-new r5 queries + the b37_tfidf_ml
+    # conversion) + rank 1 (the 28 queries whose freshest green evidence is
+    # round 2 — three rounds old) + as many rank-2 r3-greens as fit; the 50
+    # r4-verified queries (freshest evidence) rotate to the back.
     def rank(name: str) -> int:
-        if name in _CONVERTED_IN_R04:
+        if name in _CONVERTED_IN_R05:
             return 0
-        if name in _DRIVER_GREEN_R03:
+        if name in _DRIVER_GREEN_R04:
             return 3
-        if name in _CHECKED_R02_ROWS_ONLY:
-            return 3  # unconverted rows-only (b37_tfidf_ml): evidence recorded, rotate back
-        if name in _DRIVER_GREEN_R01:
-            return 1  # oldest surviving evidence (round 1 only)
-        if name in _DRIVER_GREEN_R02:
+        if name in _DRIVER_GREEN_R03:
             return 2
-        return 0  # brand-new in round 4: must land inside the window
+        if name in _DRIVER_GREEN_R02 or name in _DRIVER_GREEN_R01:
+            return 1  # oldest surviving evidence (last verified round 2)
+        return 0  # brand-new in round 5: must land inside the window
 
     idx = {n: i for i, n in enumerate(_REGISTRY)}
     names = sorted(_REGISTRY, key=lambda n: (rank(n), idx[n]))

@@ -219,3 +219,23 @@ def test_png_rejects_unsupported_variants():
         M._parse_png(b"NOTAPNG")
     with _pytest.raises(ValueError):
         M.encode_png(2, 2, (0, 0, 0), (1, 1, 1), filter_type=9)
+
+
+def test_tfidf_planted_vocab_collision_free(spark):
+    """b37_tfidf_ml's value-level oracle is only valid while the planted
+    vocabulary maps to DISTINCT HashingTF buckets (no murmur3 collisions at
+    numFeatures=2^16) and contains no English stopwords; a vocab edit that
+    introduces either would silently invalidate the textbook-formula oracle."""
+    from pyspark.ml.feature import HashingTF, StopWordsRemover, Tokenizer
+
+    from ps_datalake_spark.queries.llm_ops import _TFIDF_STOPWORDS, _TFIDF_VOCAB
+
+    df = spark.createDataFrame([(0, " ".join(_TFIDF_VOCAB))], ["doc_id", "text"])
+    words = Tokenizer(inputCol="text", outputCol="words").transform(df)
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 16)
+    vec = tf.transform(words).head().tf
+    assert vec.numNonzeros() == len(_TFIDF_VOCAB), "HashingTF bucket collision in planted vocab"
+
+    english = set(StopWordsRemover.loadDefaultStopWords("english"))
+    assert not set(_TFIDF_VOCAB) & english, "planted vocab term is a stopword"
+    assert set(_TFIDF_STOPWORDS) <= english, "planted stopword not in remover's list"

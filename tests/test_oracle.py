@@ -50,25 +50,36 @@ def test_no_complex_result_columns(spark, sf_dir):
 
 
 def test_driver_window_covers_unchecked_queries():
-    """Round-4 window invariant: the driver's 50-slot CORRECTNESS window must
+    """Round-5 window invariant: the driver's 50-slot CORRECTNESS window must
     hold (in priority order) the rows-only → oracle conversions (they need a
-    fresh hash-verified driver row) + any brand-new round-4 queries, then the
-    OLDEST surviving evidence (round-1 greens, now three rounds old); the 50
-    freshly-round-3-verified queries rotate to the back."""
+    fresh hash-verified driver row) + any brand-new round-5 queries, then the
+    OLDEST surviving evidence (queries last verified in round 2 — three
+    rounds old); the 50 freshly-round-4-verified queries rotate to the back."""
     from ps_datalake_spark.registry import (
-        _CONVERTED_IN_R04,
+        _CONVERTED_IN_R05,
+        _DRIVER_GREEN_R01,
+        _DRIVER_GREEN_R02,
         _DRIVER_GREEN_R03,
+        _DRIVER_GREEN_R04,
     )
 
     names = list(SPECS)
     window = set(names[:50])
-    assert _CONVERTED_IN_R04 <= window, "converted queries need a fresh driver row"
-    assert not (window & _DRIVER_GREEN_R03), "fresh r3 greens must rotate to the back"
+    assert _CONVERTED_IN_R05 <= window, "converted queries need a fresh driver row"
+    assert not (window & _DRIVER_GREEN_R04), "fresh r4 greens must rotate to the back"
+    # every query whose newest evidence is round 2 must be re-verified now
+    r2_only = (
+        (_DRIVER_GREEN_R02 | _DRIVER_GREEN_R01)
+        - _DRIVER_GREEN_R03
+        - _DRIVER_GREEN_R04
+    )
+    assert r2_only <= window, f"stale r2 evidence outside window: {sorted(r2_only - window)}"
 
 
 def test_converted_queries_have_oracles():
-    """Every query declared converted-in-r4 must actually carry oracle SQL."""
-    from ps_datalake_spark.registry import _CONVERTED_IN_R04
+    """Every query declared converted-in-r5 must actually carry oracle SQL."""
+    from ps_datalake_spark.registry import _CONVERTED_IN_R04, _CONVERTED_IN_R05
 
-    still_rows_only = {n for n in _CONVERTED_IN_R04 if SPECS[n].oracle is None}
-    assert not still_rows_only, f"declared converted but oracle-less: {still_rows_only}"
+    for conv in (_CONVERTED_IN_R04, _CONVERTED_IN_R05):
+        still_rows_only = {n for n in conv if SPECS[n].oracle is None}
+        assert not still_rows_only, f"declared converted but oracle-less: {still_rows_only}"
