@@ -119,6 +119,18 @@ SCALE_QUERIES = [
     "b05_tpch_q5",
     "b16_window_frames",
 ]
+# 100x probe set (TPC-H tables only are multiplied — see _build_scaled_dir).
+# Extended in r5 beyond q1/q5 to the headline shapes whose ≥10x behavior was
+# previously asserted, not measured (r4 verdict #7).
+SCALE100_QUERIES = [
+    "b10_tpch_q1",
+    "b05_tpch_q5",
+    "b13_rollup",
+    "b08_range_join",
+    "b18_topk",
+    "b31_session_window",
+]
+
 SCALE_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -152,6 +164,13 @@ _SCALED_SQL = {
     """,
     "supplier": """
         SELECT * REPLACE (s_suppkey + copy * {off} AS s_suppkey)
+        FROM read_parquet('{src}'), range({n}) r(copy)
+    """,
+    # disjoint user populations per copy: per-user window/session work stays
+    # constant while total volume scales n-x (same ts distribution per copy)
+    "events": """
+        SELECT * REPLACE (event_id + copy * {off} AS event_id,
+                          user_id + copy * {off} AS user_id)
         FROM read_parquet('{src}'), range({n}) r(copy)
     """,
 }
@@ -377,28 +396,44 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
         duck_times = {}
 
     # ---- 10x scale probe (LLM + relational headline queries) ---------------
+    # Both engines under the SAME discipline as the headline set: warmup then
+    # min-of-2 timed executions (r4 advice: a single Spark shot deviated from
+    # the stated both-engines-measured-the-same-way policy).  Probe failures
+    # are RECORDED, not swallowed — a broken probe must be distinguishable
+    # from a disabled one in the payload.
     scale_times: dict[str, float] = {}
     scale_duck: dict[str, float] = {}
     scale_profile = None
+    scale_err = scale100_err = None
+
+    def _time_spark_scaled(name: str, data_dir: str) -> float:
+        build = specs[name].build
+        if name in EAGER_BUILDERS:
+            _force(build(spark, data_dir))  # warmup
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(build(spark, data_dir))
+                best = min(best, time.perf_counter() - t0)
+        else:
+            df = build(spark, data_dir)
+            _force(df)  # warmup
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(df)
+                best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     try:
         if scale_queries:
             scaled_dir = _build_scaled_dir(sf_dir)
             scale_profile = _apply_profile(spark, scaled_dir, cpus, aqe=True)
             for name in scale_queries:
-                if name in EAGER_BUILDERS:
-                    _force(specs[name].build(spark, scaled_dir))  # warmup
-                    t0 = time.perf_counter()
-                    _force(specs[name].build(spark, scaled_dir))
-                    scale_times[name] = round(time.perf_counter() - t0, 3)
-                else:
-                    df = specs[name].build(spark, scaled_dir)
-                    _force(df)  # warmup
-                    t0 = time.perf_counter()
-                    _force(df)
-                    scale_times[name] = round(time.perf_counter() - t0, 3)
+                scale_times[name] = _time_spark_scaled(name, scaled_dir)
             scale_duck = _time_duckdb(specs, scale_queries, scaled_dir)
-    except Exception:
-        pass
+    except Exception as e:
+        scale_err = f"{type(e).__name__}: {e}"
 
     # ---- 100x scale probe: does the relational path converge? --------------
     # scale10 left q1/q5 overhead-bound (flat engine times while DuckDB stays
@@ -406,23 +441,19 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     # and the ratio is an engine comparison, not a floor comparison.
     scale100_times: dict[str, float] = {}
     scale100_duck: dict[str, float] = {}
-    scale100_queries = ["b10_tpch_q1", "b05_tpch_q5"]
+    scale100_queries = SCALE100_QUERIES
     try:
         if scale100_queries and os.environ.get("SPARK_GRAFT_SCALE100", "1") == "1":
             s100_dir = _build_scaled_dir(
                 sf_dir, factor=100,
-                scale_tables={"lineitem", "orders", "customer", "supplier"},
+                scale_tables={"lineitem", "orders", "customer", "supplier", "events"},
             )
             _apply_profile(spark, s100_dir, cpus, aqe=True)
             for name in scale100_queries:
-                df = specs[name].build(spark, s100_dir)
-                _force(df)  # warmup
-                t0 = time.perf_counter()
-                _force(df)
-                scale100_times[name] = round(time.perf_counter() - t0, 3)
+                scale100_times[name] = _time_spark_scaled(name, s100_dir)
             scale100_duck = _time_duckdb(specs, scale100_queries, s100_dir)
-    except Exception:
-        pass
+    except Exception as e:
+        scale100_err = f"{type(e).__name__}: {e}"
 
     # honest engine-vs-DuckDB summary over the comparable set (queries whose
     # oracle performs equivalent work; VERIFICATION_ORACLES excluded above)
@@ -450,11 +481,13 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             "factor": SCALE_FACTOR,
             "queries": scale_times,
             "duckdb": scale_duck,
+            "error": scale_err,
         },
         "scale100": {
             "factor": 100,
             "queries": scale100_times,
             "duckdb": scale100_duck,
+            "error": scale100_err,
         },
     }
     print(json.dumps(payload))

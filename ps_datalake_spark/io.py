@@ -31,12 +31,19 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# (applicationId, sf_dir, table) → analyzed DataFrame.  The driver fixtures
-# are immutable for the life of a session, so re-listing files and re-reading
-# parquet footers on every query build is pure overhead (~50-150 ms/query of
-# py4j + filesystem round trips at sf0.1).  DataFrames are immutable plans —
-# sharing one across queries is safe.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (applicationId, sf_dir, table) → (owning session, analyzed DataFrame).  The
+# driver fixtures are immutable for the life of a session, so re-listing files
+# and re-reading parquet footers on every query build is pure overhead
+# (~50-150 ms/query of py4j + filesystem round trips at sf0.1).  DataFrames
+# are immutable plans — sharing one across queries is safe.
+_TABLE_CACHE: dict[tuple[str, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _is_stopped(session: SparkSession) -> bool:
+    try:
+        return session.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True  # context torn down far enough that it can't answer
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,11 +54,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # confs may have been reset since first load (e.g. a fresh profile in
         # a long-lived session): re-assert them before handing the plan out
         configure(spark)
-        return hit
-    # evict entries bound to stopped sessions: a long-lived multi-session
-    # process would otherwise pin dead DataFrames forever (ADVICE r3)
-    app_id = spark.sparkContext.applicationId
-    for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        return hit[1]
+    # Evict only entries whose owning SparkContext is actually STOPPED: a
+    # long-lived multi-session process would otherwise pin dead DataFrames
+    # forever (ADVICE r3), but evicting every foreign applicationId would
+    # thrash a live concurrent session's entries (ADVICE r4).
+    for k in [k for k, (sess, _) in _TABLE_CACHE.items() if _is_stopped(sess)]:
         del _TABLE_CACHE[k]
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -67,7 +75,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif ts_type == "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    _TABLE_CACHE[key] = df
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 

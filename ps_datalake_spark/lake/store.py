@@ -291,23 +291,54 @@ class Store:
                     fd = os.open(lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                     break
                 except FileExistsError:
-                    if attempt == 1 or not self._lease_is_stale(lease_path):
+                    stale_ino = self._stale_lease_ino(lease_path)
+                    if stale_ino is None and not os.path.exists(lease_path):
+                        continue  # holder released in between — retry create
+                    if attempt == 1 or stale_ino is None:
                         raise StoreBusy(
                             f"{self.path}: write lease held "
                             f"({self._lease_holder(lease_path)}) for op {op!r}"
                         ) from None
-                    # stale (dead pid / expired): break it and retry once
+                    # Stale (dead pid / expired): break it BY IDENTITY, not
+                    # path — between the staleness judgment and the unlink a
+                    # competing writer may have broken the same stale lease
+                    # and created its own fresh one; unlinking blindly would
+                    # remove the successor's LIVE lease and let two writers
+                    # proceed (r4 advice, medium). The successor's file is a
+                    # different inode, so re-stat and only unlink the exact
+                    # file that was judged stale; on any mismatch treat the
+                    # store as contended (second loop iteration → StoreBusy).
                     with contextlib.suppress(OSError):
-                        os.unlink(lease_path)
+                        if os.stat(lease_path).st_ino == stale_ino:
+                            os.unlink(lease_path)
+            mine = {"pid": os.getpid(), "ts": _time.time(), "op": op}
             try:
                 with os.fdopen(fd, "w") as f:
-                    json.dump({"pid": os.getpid(), "ts": _time.time(), "op": op}, f)
+                    json.dump(mine, f)
                 yield
             finally:
-                with contextlib.suppress(OSError):
-                    os.unlink(lease_path)
+                self._release_lease(lease_path, mine)
 
         return _ctx()
+
+    @staticmethod
+    def _release_lease(lease_path: str, mine: dict) -> None:
+        """Release only OUR lease. If this op outlived _LEASE_TTL_SEC another
+        writer may have legitimately broken our lease and written its own —
+        unlinking unconditionally would free the store under that live writer
+        (r4 advice, medium). Re-read and compare pid+ts (both round-trip
+        exactly through JSON); on mismatch or unreadable content leave the
+        file alone — the TTL reaper will collect it if it is truly dead."""
+        import contextlib
+
+        try:
+            with open(lease_path) as f:
+                held = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return
+        if held.get("pid") == mine["pid"] and held.get("ts") == mine["ts"]:
+            with contextlib.suppress(OSError):
+                os.unlink(lease_path)
 
     @staticmethod
     def _lease_holder(lease_path: str) -> str:
@@ -318,30 +349,41 @@ class Store:
             return "unreadable lease"
 
     @classmethod
-    def _lease_is_stale(cls, lease_path: str) -> bool:
+    def _stale_lease_ino(cls, lease_path: str) -> int | None:
+        """Judge staleness and return the judged file's inode (None = live).
+
+        The inode is captured BEFORE the content read: if the file is
+        replaced in between, the content judged belongs to the newer file and
+        the stat at break time will mismatch either way, so the caller falls
+        back to StoreBusy rather than breaking the wrong lease."""
         import time as _time
 
+        try:
+            ino = os.stat(lease_path).st_ino
+        except OSError:
+            return None  # vanished — let the caller's O_EXCL retry race for it
         try:
             with open(lease_path) as f:
                 lease = json.load(f)
         except (OSError, json.JSONDecodeError):
             # unreadable/half-written: only age can prove staleness
             try:
-                return _time.time() - os.path.getmtime(lease_path) > cls._LEASE_TTL_SEC
+                age = _time.time() - os.path.getmtime(lease_path)
             except OSError:
-                return True  # vanished meanwhile — treat as broken
+                return None  # vanished meanwhile
+            return ino if age > cls._LEASE_TTL_SEC else None
         if _time.time() - float(lease.get("ts", 0)) > cls._LEASE_TTL_SEC:
-            return True
+            return ino
         pid = lease.get("pid")
         if not isinstance(pid, int):
-            return True
+            return ino
         try:
             os.kill(pid, 0)  # signal 0: existence probe only
-            return False
+            return None
         except ProcessLookupError:
-            return True
+            return ino
         except PermissionError:
-            return False  # exists, owned by another user
+            return None  # exists, owned by another user
 
     # -- dataset accessors ---------------------------------------------------
 

@@ -110,25 +110,37 @@ def _planted_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     even though the signatures themselves are Spark-internal hashes.
     doc_ids are dense 0..N-1 with N ≤ 5000 at the driven SFs, so a pair with
     id_b - id_a == 100000 is a planted pair if and only if id_b = id_a +
-    100000 (no natural pair can reach that gap)."""
+    100000 (no natural pair can reach that gap).
+
+    Only docs with non-NULL, ≥3-token text are planted — the SAME guard every
+    consuming oracle applies (r4 advice: a regenerated fixture with a NULL or
+    short doc in 0-9 must not silently desync corpus and oracle, and
+    MinHashLSH.approxSimilarityJoin throws on all-zero vectors)."""
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text"
-    )
+    planted = docs.where(
+        (F.col("doc_id") < 10)
+        & F.col("text").isNotNull()
+        & (F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
+    ).select((F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text")
     return docs.unionByName(planted)
+
+
+# The WHERE clause every planted-pair oracle must share with
+# _planted_text_corpus (DuckDB spelling of the same predicate).
+_PLANTED_GUARD = r"""doc_id < 10 AND text IS NOT NULL
+      AND len(string_split_regex(lower(trim(text)), '\s+')) >= 3"""
 
 
 @query(
     "b35_minhash_lsh",
     # signatures are Spark-internal (blake2b + affine perms), but the planted
     # exact-duplicate pairs have deterministic recall 1 and est_jaccard 1.0
-    oracle=r"""
+    oracle=f"""
     SELECT doc_id AS id_a,
            doc_id + 100000 AS id_b,
            CAST(1.0 AS DOUBLE) AS est_jaccard
     FROM documents
-    WHERE doc_id < 10 AND text IS NOT NULL
-      AND len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+    WHERE {_PLANTED_GUARD}
     ORDER BY id_a
     """,
     tags=("B35", "llm"),
@@ -154,12 +166,12 @@ def b35_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b35_simhash",
     # fingerprints are Spark-internal (blake2b bit-packing), but a planted
     # exact duplicate has the identical fingerprint: hamming exactly 0
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS id_a,
            doc_id + 100000 AS id_b,
            CAST(0 AS BIGINT) AS hamming
     FROM documents
-    WHERE doc_id < 10
+    WHERE {_PLANTED_GUARD}
     ORDER BY id_a
     """,
     tags=("B35", "llm"),
@@ -417,8 +429,8 @@ def b36_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_aggregate(list_transform(generate_series(1, len(v)),
                             i -> abs(v[i] - w[i])), 'max') AS max_err,
              list_aggregate(list_transform(generate_series(1, len(v)), i -> v[i] * w[i]), 'sum')
-             / (sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
-                * sqrt(list_aggregate(list_transform(w, x -> x * x), 'sum'))) AS cosf
+             / nullif(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(w, x -> x * x), 'sum')), 0) AS cosf
       FROM named
     )
     SELECT vec_id,
@@ -612,12 +624,12 @@ def b37_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark-ML hash family is engine-internal, but a planted exact duplicate
     # has identical HashingTF features ⇒ identical MinHash bucket in every
     # hash table ⇒ guaranteed candidate with Jaccard distance exactly 0
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS id_a,
            doc_id + 100000 AS id_b,
            CAST(1.0 AS DOUBLE) AS est_jaccard
     FROM documents
-    WHERE doc_id < 10
+    WHERE {_PLANTED_GUARD}
     ORDER BY id_a
     """,
     tags=("B35", "llm", "ml"),

@@ -266,6 +266,27 @@ def test_write_lease_breaks_stale_holders(store):
     assert not os.path.exists(os.path.join(store.path, "write.lease"))
 
 
+def test_write_lease_release_is_identity_checked(store):
+    """If an op outlives the TTL, another writer may break our lease and hold
+    its own; release must NOT unlink that successor's live lease (r4 advice).
+    Conversely a successor's fresh lease judged through _stale_lease_ino must
+    come back live (None), never breakable by inode mismatch alone."""
+    lease_path = os.path.join(store.path, "write.lease")
+    ctx = store._write_lease("test-op")
+    ctx.__enter__()
+    # simulate: TTL elapsed, another live writer broke our lease + took over
+    os.unlink(lease_path)
+    _hold_lease(store.path, pid=os.getpid())  # live successor, different ts
+    ctx.__exit__(None, None, None)
+    assert os.path.exists(lease_path), "release removed a successor's live lease"
+    assert store._stale_lease_ino(lease_path) is None, "live lease judged stale"
+    os.unlink(lease_path)
+    # normal path: own lease is released
+    with store._write_lease("test-op2"):
+        assert os.path.exists(lease_path)
+    assert not os.path.exists(lease_path)
+
+
 def test_lake_waterfall_skips_busy_store(spark, tmp_path):
     """Federation put must treat a busy store like a readonly one: waterfall
     to the next writable store instead of failing the write."""
