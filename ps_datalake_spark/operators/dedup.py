@@ -91,6 +91,17 @@ def jaccard_pairs(
     # hashed to int64 (blake2b/8B) immediately: the posting-list join then
     # shuffles and compares fixed-width longs instead of ~20-char strings.
     # (Collision probability over n shingles ≈ n²/2^65 — irrelevant here.)
+    #
+    # Plan shape, A/B-measured at the 10x probe (r5): |A|,|B| come from a
+    # separate per-doc `sizes` aggregate re-joined after the posting join —
+    # NOT carried on every posting row.  The carried-size variant ships 50%
+    # wider rows through BOTH sides of the self-join shuffle (the dominant
+    # cost) and was 25% slower at 10x (24.7 s vs 31.1 s end-to-end in b42);
+    # the sizes aggregate is map-side-combined to ~one row per doc per task,
+    # and AQE converts the two size re-joins to broadcasts.  persist: the two
+    # self-join sides cannot share a scan via exchange reuse (Python map
+    # stages are planner-nondeterministic), so the Arrow pass would run twice
+    # without the cache.
     import hashlib
 
     import pandas as pd

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ._util import T, dround
+from ._util import T, dround, tiny_sort
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +110,8 @@ def b30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "sum_val",
         )
-        .orderBy("window_start", "event_type")
+        # groups bounded by time-span × event types, not data volume
+        .transform(tiny_sort, "window_start", "event_type")
     )
 
 

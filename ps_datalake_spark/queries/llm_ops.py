@@ -24,7 +24,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as X
 from ..registry import query
-from ._util import T, dround
+from ._util import T, dround, tiny_sort
 
 
 # ---------------------------------------------------------------------------
@@ -227,8 +227,8 @@ _COSINE_EXPR = """
 def b36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     topk = S.cosine_topk(emb, "vec_id", "embedding", query_ids=list(range(10)), k=3)
-    return topk.select("query_id", "cand_id", dround("cos", 6).alias("cos"), "rnk").orderBy(
-        "query_id", "rnk"
+    return topk.select("query_id", "cand_id", dround("cos", 6).alias("cos"), "rnk").transform(
+        tiny_sort, "query_id", "rnk"  # ≤ |queries| × k = 30 rows
     )
 
 
@@ -921,24 +921,43 @@ def b42_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.2)
     )
     w = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256)).orderBy("doc_id")
-    exact_kept = quality.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # persist: exact_kept feeds BOTH the jaccard candidate pass (materialized
+    # eagerly inside jaccard_pairs) and the survivors anti-join — without the
+    # cache the scan→quality→dedup-window prefix runs once per consumer
+    # (measured 0.3 s at sf0.1, ~2x the documents scan at the 10x probe)
+    exact_kept = (
+        quality.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).persist()
+    )
     # spread=False: exact_kept is post-shuffle (dedup window) — already as
     # wide as AQE wants; the auto-widening exchange would only add a stage
     near = D.jaccard_pairs(exact_kept, "doc_id", "text", n=3, threshold=0.5, spread=False)
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = exact_kept.join(drop, "doc_id", "left_anti").select("doc_id", "text")
     survivors = survivors.persist()
-    chunks = X.chunk_documents(survivors, "doc_id", "text", window=50, stride=40)
+    # Chunk-index rows mirror the oracle's chunks CTE exactly (unnest of
+    # generate_series(0, n_chunks-1)): the pipeline's final statistic needs
+    # chunk CARDINALITY, so materializing chunk TEXT here (interpreted
+    # transform+concat_ws+sha2 per window — measured 0.47 s of the 1.5 s
+    # builder at sf0.1) would be work the oracle side doesn't do.  Full text
+    # chunking incl. shas stays covered by b41_doc_chunking.
+    toks = D.tokenize(F.col("text"))
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.size(toks) - 50, F.lit(0)) / F.lit(40)
+    ).cast("int")
+    chunk_rows = survivors.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    )
     out = (
         survivors.agg(
             F.count("*").alias("n_docs"),
             F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("id_checksum"),
         )
-        .crossJoin(chunks.agg(F.count("*").alias("n_chunks")))
+        .crossJoin(chunk_rows.agg(F.count("*").alias("n_chunks")))
         .select("n_docs", "n_chunks", "id_checksum")
     )
     result = out.localCheckpoint(eager=True)
     survivors.unpersist()
+    exact_kept.unpersist()
     return result
 
 

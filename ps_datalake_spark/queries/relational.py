@@ -20,7 +20,7 @@ from pyspark.sql.types import (
 )
 
 from ..registry import query
-from ._util import T, dround, scratch_dir
+from ._util import T, dround, scratch_dir, tiny_sort
 
 
 # ---------------------------------------------------------------------------
@@ -448,7 +448,7 @@ def b05_join_inner_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("order_cnt"),
             dround(F.sum("o_totalprice"), 2).alias("total_spend"),
         )
-        .orderBy("r_name", "n_name")
+        .transform(tiny_sort, "r_name", "n_name")  # ≤ |nation| = 25 groups
     )
 
 
@@ -708,7 +708,7 @@ def b10_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(tiny_sort, "l_returnflag", "l_linestatus")  # ≤ 6 groups
     )
 
 
@@ -827,16 +827,48 @@ def b12_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B13",),
 )
 def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROLLUP via base-aggregate re-aggregation, not Expand: Spark's native
+    # rollup() triples the INPUT (one Expand replica per grouping set) before
+    # the partial aggregate — 180M generated rows at the 100x probe (measured
+    # 4.5x DuckDB).  Aggregating the detail level once (6 groups) and deriving
+    # the coarser levels from those partials is algebraically exact for
+    # sum/count (l_quantity sums are integer-valued doubles — associativity
+    # loses nothing) and turns the rollup into ONE pass over the fact table
+    # plus re-aggregation of a 6-row result.  The same rewrite is what a
+    # 100 TB rollup needs: Expand's input multiplication is the known scale
+    # bottleneck.  gid values replicate Spark/DuckDB grouping_id semantics
+    # (grouping(rf)*2 + grouping(ls): detail 0, per-flag subtotal 1, total 3).
     li = T(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.sum("l_quantity").alias("qty")
+    )
+    detail = base.select(
+        "l_returnflag", "l_linestatus", F.lit(0).cast("bigint").alias("gid"), "cnt", "qty"
+    )
+    by_flag = base.groupBy("l_returnflag").agg(
+        F.sum("cnt").alias("cnt"), F.sum("qty").alias("qty")
+    ).select(
+        "l_returnflag",
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(1).cast("bigint").alias("gid"),
+        "cnt",
+        "qty",
+    )
+    total = base.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("cnt"), F.sum("qty").alias("qty")
+    ).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(3).cast("bigint").alias("gid"),
+        "cnt",
+        "qty",
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping_id().cast("bigint").alias("gid"),
-            F.count("*").alias("cnt"),
-            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
-        )
-        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
-        .orderBy(
+        detail.unionByName(by_flag)
+        .unionByName(total)
+        .select("l_returnflag", "l_linestatus", "gid", "cnt", dround("qty", 2).alias("sum_qty"))
+        .transform(
+            tiny_sort,  # ≤ 6 + 3 + 1 rows across the three grouping levels
             "gid",
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
@@ -1019,12 +1051,23 @@ def b17_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Global top-k: Spark plans TakeOrderedAndProject (no full sort).",
 )
 def b18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .groupBy("c_custkey")
+    # Aggregate BELOW the join: revenue-per-custkey only needs orders;
+    # customer (c_custkey is its primary key, so join-then-sum ≡ sum-then-
+    # join) merely filters to existing customers.  Joining first shuffles the
+    # full fact table (15M rows at the 100x probe, measured 10x DuckDB);
+    # aggregating first shuffles 1.5M partially-combined groups and the join
+    # reuses that hash partitioning for one side.  The orderBy+limit still
+    # plans TakeOrderedAndProject (asserted in tests/test_plans.py) — no
+    # global sort at any scale.
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    rev = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
         .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return (
+        c.join(rev, c.c_custkey == F.col("o_custkey"))
+        .select("c_custkey", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(10)
     )
