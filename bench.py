@@ -134,6 +134,14 @@ SCALE100_QUERIES = [
     "b31_session_window",
 ]
 
+# 300x probe: the convergence CURVE for the two TPC-H flagships — three
+# points (10x overhead-bound, 100x transitional, 300x compute-bound) show
+# whether the ratio falls toward engine parity as data outgrows the floor.
+SCALE300_QUERIES = [
+    "b10_tpch_q1",
+    "b05_tpch_q5",
+]
+
 SCALE_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -463,6 +471,23 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     except Exception as e:
         scale100_err = f"{type(e).__name__}: {e}"
 
+    # ---- 300x scale probe: convergence curve for the TPC-H flagships -------
+    scale300_times: dict[str, float] = {}
+    scale300_duck: dict[str, float] = {}
+    scale300_err = None
+    try:
+        if SCALE300_QUERIES and os.environ.get("SPARK_GRAFT_SCALE300", "1") == "1":
+            s300_dir = _build_scaled_dir(
+                sf_dir, factor=300,
+                scale_tables={"lineitem", "orders", "customer", "supplier"},
+            )
+            _apply_profile(spark, s300_dir, cpus, aqe=True)
+            for name in SCALE300_QUERIES:
+                scale300_times[name] = _time_spark_scaled(name, s300_dir)
+            scale300_duck = _time_duckdb(specs, SCALE300_QUERIES, s300_dir)
+    except Exception as e:
+        scale300_err = f"{type(e).__name__}: {e}"
+
     # honest engine-vs-DuckDB summary over the comparable set (queries whose
     # oracle performs equivalent work; VERIFICATION_ORACLES excluded above)
     comp_spark = round(sum(times[n] for n in duck_times), 3)
@@ -496,6 +521,12 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             "queries": scale100_times,
             "duckdb": scale100_duck,
             "error": scale100_err,
+        },
+        "scale300": {
+            "factor": 300,
+            "queries": scale300_times,
+            "duckdb": scale300_duck,
+            "error": scale300_err,
         },
     }
     print(json.dumps(payload))

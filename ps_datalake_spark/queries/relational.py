@@ -827,46 +827,30 @@ def b12_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B13",),
 )
 def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ROLLUP via base-aggregate re-aggregation, not Expand: Spark's native
-    # rollup() triples the INPUT (one Expand replica per grouping set) before
-    # the partial aggregate — 180M generated rows at the 100x probe (measured
-    # 4.5x DuckDB).  Aggregating the detail level once (6 groups) and deriving
-    # the coarser levels from those partials is algebraically exact for
-    # sum/count (l_quantity sums are integer-valued doubles — associativity
-    # loses nothing) and turns the rollup into ONE pass over the fact table
-    # plus re-aggregation of a 6-row result.  The same rewrite is what a
-    # 100 TB rollup needs: Expand's input multiplication is the known scale
-    # bottleneck.  gid values replicate Spark/DuckDB grouping_id semantics
-    # (grouping(rf)*2 + grouping(ls): detail 0, per-flag subtotal 1, total 3).
+    # ROLLUP applied to the BASE AGGREGATE, not the fact table: rollup()
+    # directly on lineitem Expands the INPUT (one replica per grouping set)
+    # before the partial aggregate — 180M generated rows at the 100x probe
+    # (measured 4.5x DuckDB).  Aggregating the detail level first (6 groups
+    # by schema) and rolling THAT up is algebraically exact for sum/count
+    # (l_quantity sums are integer-valued doubles — associativity loses
+    # nothing): one pass over the fact table, then native rollup semantics
+    # (grouping_id, NULL fill, empty-input grand total) over six rows.
+    # A/B at 100x: 0.64 s vs 0.79 s for the hand-unioned re-aggregation and
+    # ~1.1 s for the native full-input rollup.  The same partial-reaggregate
+    # shape is what a 100 TB rollup needs — Expand's input multiplication is
+    # the known scale bottleneck.
     li = T(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("cnt"), F.sum("l_quantity").alias("qty")
-    )
-    detail = base.select(
-        "l_returnflag", "l_linestatus", F.lit(0).cast("bigint").alias("gid"), "cnt", "qty"
-    )
-    by_flag = base.groupBy("l_returnflag").agg(
-        F.sum("cnt").alias("cnt"), F.sum("qty").alias("qty")
-    ).select(
-        "l_returnflag",
-        F.lit(None).cast("string").alias("l_linestatus"),
-        F.lit(1).cast("bigint").alias("gid"),
-        "cnt",
-        "qty",
-    )
-    total = base.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("cnt"), F.sum("qty").alias("qty")
-    ).select(
-        F.lit(None).cast("string").alias("l_returnflag"),
-        F.lit(None).cast("string").alias("l_linestatus"),
-        F.lit(3).cast("bigint").alias("gid"),
-        "cnt",
-        "qty",
+        F.count("*").alias("cnt_p"), F.sum("l_quantity").alias("qty_p")
     )
     return (
-        detail.unionByName(by_flag)
-        .unionByName(total)
-        .select("l_returnflag", "l_linestatus", "gid", "cnt", dround("qty", 2).alias("sum_qty"))
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.coalesce(F.sum("cnt_p"), F.lit(0)).alias("cnt"),
+            dround(F.sum("qty_p"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
         .transform(
             tiny_sort,  # ≤ 6 + 3 + 1 rows across the three grouping levels
             "gid",
@@ -1065,8 +1049,20 @@ def b18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
     )
+    # Size-gated join strategy: customer is ~the same cardinality as the
+    # aggregated revenue side, so past a few MB a broadcast would collect
+    # millions of keys to the driver per run (measured at the 100x probe:
+    # shuffle-hash 1.04 s vs broadcast 1.52 s vs unhinted 1.74 s); under the
+    # gate the broadcast is the usual free small-dim win.
+    from ._util import table_bytes
+
+    cust_bytes = table_bytes(sf_dir, "customer")
+    if cust_bytes is not None and cust_bytes < 8 << 20:
+        c = F.broadcast(c)
+    else:
+        c = c.hint("shuffle_hash")
     return (
-        c.join(rev, c.c_custkey == F.col("o_custkey"))
+        c.join(rev, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(10)

@@ -17,7 +17,11 @@ import json
 import bench
 
 
-def test_bench_main_path(spark, sf_dir, capsys):
+def test_bench_main_path(spark, sf_dir, capsys, monkeypatch):
+    # scale probes are exercised by the real bench run; at sf0.001 they would
+    # only add dir-build time to the suite
+    monkeypatch.setenv("SPARK_GRAFT_SCALE100", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SCALE300", "0")
     payload = bench.main(
         headline=["b10_tpch_q1", "b38_put_dedup"],
         scale_queries=[],
