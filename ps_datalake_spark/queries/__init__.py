@@ -7,6 +7,7 @@ from . import relational  # noqa: F401
 from . import relational_ext  # noqa: F401
 from . import functions_ext  # noqa: F401
 from . import tpch_like  # noqa: F401
+from . import tpch_full  # noqa: F401
 from . import windows_ext  # noqa: F401
 from . import sampling_rollup  # noqa: F401
 from . import analytics  # noqa: F401
