@@ -263,9 +263,13 @@ def _auto_partitions(sf_dir: str, cpus: int) -> int:
     the whole input is ~17 MB of parquet — 16-32 sub-MB shuffle tasks pay
     more scheduler latency than they save (measured at sf0.1, min-of-3: the
     13-query light set totals 3.49 s at 16 partitions, 2.90 s at 8; q1 alone
-    0.38 s → 0.19 s).  Clamped to [8, cpus]; at real scale the byte term
-    dominates and this returns cpus."""
-    return max(8, min(cpus, _input_bytes(sf_dir) // (32 << 20)))
+    0.38 s → 0.19 s).  Divisor 8 MB (not 32): parquet bytes understate
+    in-memory shuffle work (dictionary+RLE decode ~4x), and CPU-heavy
+    per-partition operators (window sorts) starve below one task per core —
+    measured at the 10x probe: b16_window_frames 1.39 s at 8 partitions vs
+    0.97 s at 32, b05_tpch_q5 0.86 s vs 0.58 s.  Clamped to [8, cpus]; at
+    real scale the byte term dominates and this returns cpus."""
+    return max(8, min(cpus, _input_bytes(sf_dir) // (8 << 20)))
 
 
 def _auto_split_bytes(sf_dir: str, cpus: int) -> int:
@@ -316,6 +320,12 @@ def _time_spark(spark, specs, names, sf_dir, cpus, light_aqe=False) -> dict[str,
                 t0 = time.perf_counter()
                 _force(specs[name].build(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
+            # eager pipelines persist intermediates; drop them so the NEXT
+            # query's timing isn't taxed by their executor-memory footprint
+            # (measured at the 10x probe: q5 3.3 s inside the bench loop vs
+            # 0.86 s in a clean session — all contamination).  load_table
+            # caches only plan objects, so this forfeits no correctness.
+            spark.catalog.clearCache()
         else:
             _apply_profile(spark, sf_dir, cpus, aqe=light_aqe)
             df = specs[name].build(spark, sf_dir)
@@ -431,6 +441,7 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
                 t0 = time.perf_counter()
                 _force(build(spark, data_dir))
                 best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()  # see _time_spark: drop persisted leftovers
         else:
             df = build(spark, data_dir)
             _force(df)  # warmup

@@ -4,12 +4,12 @@ Images/audio/video are carried as `binary` columns with a typed metadata
 struct, processed via Arrow-batched mapInPandas.
 
 Codec status: ``decode_real`` is a REAL byte-level decoder for uncompressed
-24-bit BMP, binary PPM (P6), and — via the stdlib zlib — non-interlaced
-8-bit RGB PNG including all five scanline filters (None/Sub/Up/Average/
-Paeth). JPEG remains behind ``decode_stub`` (deterministic fake dimensions
-derived from the content hash) until a codec library is available; the
-Spark-side plumbing — schema, batching, partition behavior — is identical
-for both and fully tested either way.
+24-bit BMP, binary PPM (P6), non-interlaced 8-bit RGB PNG including all
+five scanline filters (None/Sub/Up/Average/Paeth) via the stdlib zlib, and
+— since round 5 — baseline JFIF JPEG (SOF0, Huffman entropy decode, IDCT,
+4:4:4/4:2:0 chroma, restart markers) via ``operators/jpeg.py``.
+``decode_stub`` remains only as the declared fake-decode plumbing shape for
+formats with no codec (e.g. proprietary video containers).
 """
 
 from __future__ import annotations
@@ -303,8 +303,8 @@ def decode_real(blobs: DataFrame) -> DataFrame:
     scanline unfiltering — and emits dimensions plus channel statistics.
     ``top_r`` (mean red over the top half of the image) is order-sensitive: a
     decoder that forgets the BMP row flip, the row padding, or a PNG filter
-    produces wrong values. JPEG stays behind ``decode_stub`` until a codec
-    library is available."""
+    produces wrong values. Baseline JPEG (magic FFD8) decodes through the
+    pure-numpy codec in ``operators/jpeg.py``."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -320,6 +320,10 @@ def decode_real(blobs: DataFrame) -> DataFrame:
                     img, fmt = _parse_ppm(raw), "ppm"
                 elif raw[:2] == b"\x89P":
                     img, fmt = _parse_png(raw), "png"
+                elif raw[:2] == b"\xff\xd8":
+                    from .jpeg import parse_jpeg
+
+                    img, fmt = parse_jpeg(raw), "jpeg"
                 else:
                     raise ValueError(f"unknown image magic {raw[:2]!r} for id {rid}")
                 h, w = img.shape[0], img.shape[1]

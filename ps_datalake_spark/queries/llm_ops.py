@@ -1244,3 +1244,116 @@ def b39_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("mean_b", 6).alias("mean_b"),
         dround("top_r", 6).alias("top_r"),
     ).orderBy("id")
+
+
+# Shared sub-expressions for the b39_decode_jpeg analytic oracle: the module
+# rounding convention floor(x + 0.5 + 1e-6) with a 0-255 clamp (operators/
+# jpeg.py module docstring), applied at the three lossy stages.
+def _jq_clamp(expr: str) -> str:
+    return f"least(greatest(floor({expr} + 0.5 + 1e-6), 0), 255)"
+
+
+def _jq_band_sql(p: str, r: str, g: str, b: str) -> str:
+    """YCbCr → DC-quantize round-trip → RGB for one uniform band; emits
+    columns {p}r2/{p}g2/{p}b2 given planted color columns r,g,b and quant
+    columns qy/qc."""
+    y = _jq_clamp(f"0.299*{r} + 0.587*{g} + 0.114*{b}")
+    cb = _jq_clamp(f"-0.168736*{r} - 0.331264*{g} + 0.5*{b} + 128")
+    cr = _jq_clamp(f"0.5*{r} - 0.418688*{g} - 0.081312*{b} + 128")
+    rec = lambda v, q: _jq_clamp(f"floor(8*(({v}) - 128)/{q} + 0.5 + 1e-6) * {q} / 8.0 + 128")  # noqa: E731
+    y2, cb2, cr2 = rec(y, "qy"), rec(cb, "qc"), rec(cr, "qc")
+    return (
+        f"{_jq_clamp(f'({y2}) + 1.402*(({cr2}) - 128)')} AS {p}r2, "
+        f"{_jq_clamp(f'({y2}) - 0.344136*(({cb2}) - 128) - 0.714136*(({cr2}) - 128)')} AS {p}g2, "
+        f"{_jq_clamp(f'({y2}) + 1.772*(({cb2}) - 128)')} AS {p}b2"
+    )
+
+
+@query(
+    "b39_decode_jpeg",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS id,
+             (doc_id * 5) % 25 + 8 AS w, 32 AS h,
+             doc_id % 256 AS tr, (doc_id * 3) % 256 AS tg, (doc_id * 7) % 256 AS tb,
+             (doc_id + 91) % 256 AS br, (doc_id * 3 + 17) % 256 AS bg,
+             (doc_id * 7 + 29) % 256 AS bb,
+             CASE doc_id % 3 WHEN 0 THEN 50 WHEN 1 THEN 75 ELSE 90 END AS q
+      FROM documents WHERE doc_id < 400
+    ),
+    qv AS (
+      SELECT *,
+             least(greatest((16 * scale + 50) // 100, 1), 255) AS qy,
+             least(greatest((17 * scale + 50) // 100, 1), 255) AS qc
+      FROM (SELECT *, CASE WHEN q < 50 THEN 5000 // q ELSE 200 - 2*q END AS scale FROM m)
+    ),
+    rgb AS (
+      SELECT id, w, h,
+             {_jq_band_sql("t", "tr", "tg", "tb")},
+             {_jq_band_sql("b", "br", "bg", "bb")}
+      FROM qv
+    )
+    SELECT id, 'jpeg' AS fmt,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           round((tr2 + br2) / 2.0, 6) AS mean_r,
+           round((tg2 + bg2) / 2.0, 6) AS mean_g,
+           round((tb2 + bb2) / 2.0, 6) AS mean_b,
+           round(CAST(tr2 AS DOUBLE), 6) AS top_r
+    FROM rgb ORDER BY id
+    """,
+    tags=("B39", "llm", "multimodal"),
+    doc="REAL baseline-JPEG codec round-trip (operators/jpeg.py: pure-numpy "
+    "FDCT/quantize/Huffman encode, then full entropy decode + IDCT): "
+    "synthesize a two-band JPEG per document — quality 50/75/90 by id, "
+    "4:4:4 on even ids and 4:2:0 on odd, restart markers every 2 MCUs when "
+    "id %% 4 == 0 — and decode with decode_real. Band heights are multiples "
+    "of 16, so every MCU is a uniform color and the whole lossy path "
+    "collapses to the ANALYTIC DC-only form round(8(v-128)/q)*q/8 + 128 "
+    "per channel; the oracle evaluates that closed form plus the JFIF color "
+    "transforms in SQL from the planted colors and the IJG quality-scaling "
+    "formula — implementation-independent JPEG mathematics, not this "
+    "codec's own output.",
+)
+def b39_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 400)
+
+    def _encode(batches):
+        import numpy as np
+
+        from ..operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = (d * 5) % 25 + 8, 32
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                img[:16] = (d % 256, (d * 3) % 256, (d * 7) % 256)
+                img[16:] = ((d + 91) % 256, (d * 3 + 17) % 256, (d * 7 + 29) % 256)
+                blobs.append(
+                    encode_jpeg(
+                        img,
+                        quality=(50, 75, 90)[d % 3],
+                        subsampling="444" if d % 2 == 0 else "420",
+                        restart_interval=2 if d % 4 == 0 else 0,
+                    )
+                )
+                ids.append(d)
+            yield pd.DataFrame({"id": ids, "data": blobs})
+
+    blobs = docs.mapInPandas(_encode, "id bigint, data binary")
+    decoded = M.decode_real(blobs)
+    return decoded.select(
+        "id",
+        "fmt",
+        "width",
+        "height",
+        "n_pixels",
+        dround("mean_r", 6).alias("mean_r"),
+        dround("mean_g", 6).alias("mean_g"),
+        dround("mean_b", 6).alias("mean_b"),
+        dround("top_r", 6).alias("top_r"),
+    ).orderBy("id")
