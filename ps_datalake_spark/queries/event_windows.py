@@ -199,12 +199,13 @@ def b31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS cnt
     FROM sessioned
     GROUP BY user_id, sid
-    ORDER BY user_id, session_start
     """,
     tags=("B31",),
     doc="Session windows (5-minute gap) per user; oracle is the classic "
     "gaps-and-islands rewrite. Spark merges events with gap < 5 min strictly; "
-    "session end = last event + gap.",
+    "session end = last event + gap. Data-proportional output: final sort "
+    "omitted on both sides (sorted-multiset comparison — see "
+    "b37_token_stats).",
 )
 def b31_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
@@ -217,7 +218,6 @@ def b31_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.end").cast("timestamp_ntz").alias("session_end"),
             "cnt",
         )
-        .orderBy("user_id", "session_start")
     )
 
 

@@ -39,14 +39,15 @@ from ._util import T, dround, tiny_sort
            count(*) AS copies
     FROM documents
     GROUP BY sha256(text)
-    ORDER BY content_hash
     """,
     tags=("B34", "llm"),
-    doc="Content-hash dedup over documents (reference put-idempotence at corpus scale).",
+    doc="Content-hash dedup over documents (reference put-idempotence at "
+    "corpus scale). Data-proportional output: final sort omitted on both "
+    "sides (sorted-multiset comparison — see b37_token_stats).",
 )
 def b34_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
-    return D.exact_dedup(docs, "doc_id", "text").orderBy("content_hash")
+    return D.exact_dedup(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -491,10 +492,14 @@ def b51_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(t), 4) AS stopword_ratio,
            round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                  / length(text), 4) AS punct_ratio
-    FROM toks ORDER BY doc_id
+    FROM toks
     """,
     tags=("B37", "llm"),
-    doc="Per-document token counts, lexical diversity, stopword/punct ratios.",
+    doc="Per-document token counts, lexical diversity, stopword/punct ratios. "
+    "Data-proportional output: the decorative final sort is omitted on BOTH "
+    "sides (rows are compared as sorted multisets — FIXTURES.md); a global "
+    "sort of per-document rows at 100 TB is pure overhead, and its "
+    "range-boundary sampling pass re-executes the whole upstream plan.",
 )
 def b37_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
@@ -506,7 +511,7 @@ def b37_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("avg_token_len", 4).alias("avg_token_len"),
         dround("stopword_ratio", 4).alias("stopword_ratio"),
         dround("punct_ratio", 4).alias("punct_ratio"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(

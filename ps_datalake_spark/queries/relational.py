@@ -963,10 +963,11 @@ def b15_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice
                  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS near_cnt
     FROM orders
-    ORDER BY o_orderkey
     """,
     tags=("B16",),
-    doc="Aggregate windows with ROWS and RANGE frames: running sum, moving avg, range count.",
+    doc="Aggregate windows with ROWS and RANGE frames: running sum, moving "
+    "avg, range count. Data-proportional output: final sort omitted on both "
+    "sides (sorted-multiset comparison — see b37_token_stats).",
 )
 def b16_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -992,7 +993,7 @@ def b16_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("o_totalprice").over(w_rows), 2).alias("running_spend"),
         dround(F.avg("o_totalprice").over(w_mov), 4).alias("moving_avg3"),
         F.count("*").over(w_range).alias("near_cnt"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -216,6 +216,19 @@ _DRIVER_GREEN_R04 = frozenset(
 # norms equal the textbook TF-IDF formula DuckDB can compute).
 _CONVERTED_IN_R05 = frozenset({"b37_tfidf_ml"})
 
+# Round-5 retunes: data-proportional queries whose decorative final ORDER BY
+# was dropped on BOTH sides (rows are compared as sorted multisets, and a
+# range sort's boundary-sampling pass re-executes the whole upstream plan).
+# The query/oracle pair changed, so each needs a fresh driver row.
+_RETUNED_IN_R05 = frozenset(
+    {
+        "b16_window_frames",
+        "b31_session_window",
+        "b34_exact_dedup",
+        "b37_token_stats",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules on first access so the registry is populated.
@@ -227,7 +240,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # round 2 — three rounds old) + as many rank-2 r3-greens as fit; the 50
     # r4-verified queries (freshest evidence) rotate to the back.
     def rank(name: str) -> int:
-        if name in _CONVERTED_IN_R05:
+        if name in _CONVERTED_IN_R05 or name in _RETUNED_IN_R05:
             return 0
         if name in _DRIVER_GREEN_R04:
             return 3

@@ -61,12 +61,16 @@ def test_driver_window_covers_unchecked_queries():
         _DRIVER_GREEN_R02,
         _DRIVER_GREEN_R03,
         _DRIVER_GREEN_R04,
+        _RETUNED_IN_R05,
     )
 
     names = list(SPECS)
     window = set(names[:50])
     assert _CONVERTED_IN_R05 <= window, "converted queries need a fresh driver row"
-    assert not (window & _DRIVER_GREEN_R04), "fresh r4 greens must rotate to the back"
+    assert _RETUNED_IN_R05 <= window, "retuned query/oracle pairs need a fresh driver row"
+    assert not (window & _DRIVER_GREEN_R04 - _RETUNED_IN_R05), (
+        "fresh r4 greens must rotate to the back"
+    )
     # every query whose newest evidence is round 2 must be re-verified now
     r2_only = (
         (_DRIVER_GREEN_R02 | _DRIVER_GREEN_R01)
