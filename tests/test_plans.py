@@ -116,3 +116,34 @@ def test_zorder_skip_pushes_both_dimensions(spark, sf_dir):
     assert "GreaterThanOrEqual(user_id,100)" in plan
     assert "LessThanOrEqual(user_id,140)" in plan
     assert "GreaterThanOrEqual(ts" in plan
+
+
+def test_tpch_completion_pack_plan_shapes(spark, sf_dir):
+    """The round-5 TPC-H completion pack (b55_*) must keep lineitem as the
+    probe stream: no cartesian/nested-loop anywhere, and the fact table never
+    appears as a broadcast build side (scan order in a BroadcastExchange
+    subtree). Correlated subqueries must be planned as aggregates joined
+    back, never per-row."""
+    for q in ("q2", "q7", "q8", "q9", "q11", "q13", "q15", "q16", "q17", "q20", "q21"):
+        plan = _formatted_plan(SPECS[f"b55_tpch_{q}"].build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        # the 1-row scalar-threshold attaches (q11/q15/q20) broadcast a
+        # single-row relation; anything else nested-loop is a plan bug
+        if f"b55_tpch_{q}" not in ("b55_tpch_q11", "b55_tpch_q15", "b55_tpch_q20"):
+            assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_q21_exists_shapes(spark, sf_dir):
+    """Q21's correlated EXISTS / NOT-EXISTS must plan as left-semi and
+    left-anti hash joins on the order key."""
+    plan = _formatted_plan(SPECS["b55_tpch_q21"].build(spark, sf_dir))
+    low = plan.lower()
+    assert "leftsemi" in low or "left semi" in low, "EXISTS must be a semi join"
+    assert "leftanti" in low or "left anti" in low, "NOT EXISTS must be an anti join"
+
+
+def test_q2_correlated_max_is_window_not_self_join(spark, sf_dir):
+    """Q2's per-part max must be a single Window pass over the candidate
+    relation (one scan), not a re-aggregated self-join that scans twice."""
+    plan = _formatted_plan(SPECS["b55_tpch_q2"].build(spark, sf_dir))
+    assert "Window" in plan
