@@ -274,16 +274,21 @@ def _auto_partitions(sf_dir: str, cpus: int) -> int:
 
 def _auto_split_bytes(sf_dir: str, cpus: int) -> int:
     """Scan split size (spark.sql.files.maxPartitionBytes) sized so the
-    LARGEST single table can occupy ~half the cores: the 128 MB default makes
-    a 10 MB sf0.1 table one single-threaded scan task.  Clamped to
-    [1 MB, 128 MB]; at real scale this returns the 128 MB default."""
+    LARGEST single table splits into ~2 tasks per core: the 128 MB default
+    makes a 10 MB sf0.1 table one single-threaded scan task, and a
+    half-the-cores split (r4) left the 1.4 GB 100x lineitem on 16 of 32
+    cores and a 190 MB orders scan on THREE (measured at the 100x probe:
+    q1 0.92 s at 87 MB splits → 0.71 s at 21 MB; q5 2.21 s → 1.85 s).
+    Two waves over the biggest table also gives every smaller table ≥1 task
+    per few cores.  Clamped to [1 MB, 128 MB]; at real scale this returns
+    the 128 MB default."""
     biggest = 0
     for t in SCALE_TABLES:
         try:
             biggest = max(biggest, os.path.getsize(os.path.join(sf_dir, f"{t}.parquet")))
         except OSError:
             pass
-    return max(1 << 20, min(128 << 20, biggest // max(1, cpus // 2)))
+    return max(1 << 20, min(128 << 20, biggest // (2 * cpus)))
 
 
 def _apply_profile(spark, sf_dir: str, cpus: int, aqe: bool) -> dict:
@@ -314,7 +319,12 @@ def _time_spark(spark, specs, names, sf_dir, cpus, light_aqe=False) -> dict[str,
             # ~17 MB cost b42 2.08 s vs 1.22 s at 8 (AQE coalesces the tail,
             # but each exchange still plans/launches the full width first)
             spark.conf.set("spark.sql.shuffle.partitions", str(_auto_partitions(sf_dir, cpus)))
-            _force(specs[name].build(spark, sf_dir))  # warmup (compile + JIT)
+            # 2 warmups: the first run pays store creation + codegen and can
+            # run 4-5x the settled time; one warmup still leaves the min-of-2
+            # catching a half-settled number (measured b38: 11.6 → 3.2 → 2.6
+            # → 2.3 s across consecutive runs)
+            _force(specs[name].build(spark, sf_dir))
+            _force(specs[name].build(spark, sf_dir))
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -329,12 +339,12 @@ def _time_spark(spark, specs, names, sf_dir, cpus, light_aqe=False) -> dict[str,
         else:
             _apply_profile(spark, sf_dir, cpus, aqe=light_aqe)
             df = specs[name].build(spark, sf_dir)
-            # 3 warmups: tiered JIT keeps improving past the second execution
-            # (measured: q1 settles 0.46→0.29 over ~5 runs), and min-of-3
-            # after only 2 warmups still catches pre-warm numbers
-            _force(df)
-            _force(df)
-            _force(df)
+            # 4 warmups: tiered JIT keeps improving past the second execution
+            # (measured: q1 settles 0.46→0.29 over ~5 runs); the recorded
+            # artifact's run-to-run spread is mostly JIT state, so the extra
+            # warmup buys reproducibility for ~3 s of total bench time
+            for _ in range(4):
+                _force(df)
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -435,7 +445,8 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     def _time_spark_scaled(name: str, data_dir: str) -> float:
         build = specs[name].build
         if name in EAGER_BUILDERS:
-            _force(build(spark, data_dir))  # warmup
+            _force(build(spark, data_dir))  # warmups (see _time_spark)
+            _force(build(spark, data_dir))
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -452,9 +463,23 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
                 best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    def _recycle():
+        """Fresh JVM for the next probe section (only when bench owns the
+        session).  Minutes of prior probes leave old-gen heap debris —
+        broadcast relations, shuffle buffers, checkpoint blocks — that taxes
+        later sections with GC pressure (measured: q1 at the 100x probe
+        1.32 s late in a shared session vs 0.71 s in a clean one, same conf).
+        Each section still warms up its own queries after the restart, so no
+        timed execution runs on a cold JIT."""
+        nonlocal spark
+        if own_spark:
+            spark.stop()
+            spark = get_spark(app_name="ps-datalake-bench")
+
     try:
         if scale_queries:
             scaled_dir = _build_scaled_dir(sf_dir)
+            _recycle()
             scale_profile = _apply_profile(spark, scaled_dir, cpus, aqe=True)
             for name in scale_queries:
                 scale_times[name] = _time_spark_scaled(name, scaled_dir)
@@ -475,6 +500,7 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
                 sf_dir, factor=100,
                 scale_tables={"lineitem", "orders", "customer", "supplier", "events"},
             )
+            _recycle()
             _apply_profile(spark, s100_dir, cpus, aqe=True)
             for name in scale100_queries:
                 scale100_times[name] = _time_spark_scaled(name, s100_dir)

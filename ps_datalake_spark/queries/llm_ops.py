@@ -929,9 +929,15 @@ def b42_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: exact_kept feeds BOTH the jaccard candidate pass (materialized
     # eagerly inside jaccard_pairs) and the survivors anti-join — without the
     # cache the scan→quality→dedup-window prefix runs once per consumer
-    # (measured 0.3 s at sf0.1, ~2x the documents scan at the 10x probe)
+    # (measured 0.3 s at sf0.1, ~2x the documents scan at the 10x probe).
+    # Project to (doc_id, text) BEFORE the dedup window: nothing downstream
+    # reads lang/source/n_chars, and the window's sha-keyed exchange should
+    # not ship them (measured 0.40 s → 0.31 s at sf0.1).
     exact_kept = (
-        quality.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).persist()
+        quality.select("doc_id", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .persist()
     )
     # spread=False: exact_kept is post-shuffle (dedup window) — already as
     # wide as AQE wants; the auto-widening exchange would only add a stage
