@@ -16,4 +16,5 @@ from . import semi_structured  # noqa: F401
 from . import event_windows  # noqa: F401
 from . import llm_ops  # noqa: F401
 from . import pipeline_ext  # noqa: F401
+from . import pipeline_pack  # noqa: F401
 from . import lake_ops  # noqa: F401

@@ -1,0 +1,251 @@
+"""Training-data assembly operators (round 5): sequence packing,
+temperature resampling, unigram log-probability quality scoring, bigram
+statistics — the steps between "cleaned corpus" and "training batches"
+that a 100 TB data pipeline runs after dedup/filtering (llm_ops.py).
+
+Determinism: every floating aggregate sums FIXED-PRECISION decimals (log
+probabilities rounded to 6dp before summation), so results are exact and
+order-independent — a raw float sum over shuffled rows differs run to run
+in the last ulp, which a hash-matched oracle cannot tolerate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ._util import T, dround, tiny_sort
+
+# whitespace tokenizer shared with llm_ops (same SQL counterpart)
+_TOK_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _toks():
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+@query(
+    "b56_sequence_packing",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, source, len({_TOK_SQL}) AS n_tokens FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM d
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // 256 AS BIGINT) AS start_seq,
+           CAST((cum_before + n_tokens - 1) // 256 AS BIGINT) AS end_seq,
+           CAST((cum_before + n_tokens - 1) // 256 - cum_before // 256 + 1
+                AS BIGINT) AS n_seqs
+    FROM packed
+    """,
+    tags=("B37", "llm", "pack"),
+    doc="GPT-style sequence packing: tokens are concatenated in doc_id order "
+    "WITHIN each source shard and chunked into 256-token training "
+    "sequences; emits each document's first/last sequence index and span. "
+    "Partitioning by source is the scale story: the running sum is a "
+    "per-shard window (parallel across shards), never a single global "
+    "cumulative sum. Data-proportional output — no final sort (sorted-"
+    "multiset comparison).",
+)
+def b56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_toks()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.lit(256)
+    packed = docs.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    last = F.col("cum_before") + F.col("n_tokens") - 1
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(F.col("cum_before") / budget).cast("bigint").alias("start_seq"),
+        F.floor(last / budget).cast("bigint").alias("end_seq"),
+        (F.floor(last / budget) - F.floor(F.col("cum_before") / budget) + 1)
+        .cast("bigint")
+        .alias("n_seqs"),
+    )
+
+
+@query(
+    "b56_temperature_sampling",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(count(*)) OVER () AS DOUBLE) AS total
+      FROM documents GROUP BY lang
+    ),
+    rates AS (  -- temperature alpha = 0.5 flattens the source distribution
+      SELECT lang,
+             least(1.0, 0.5 * total * (pow(n / total, 0.5)
+                   / sum(pow(n / total, 0.5)) OVER ()) / n) AS keep_rate
+      FROM counts
+    )
+    SELECT doc_id, documents.lang AS lang,
+           round(keep_rate * 10000) / 10000 AS keep_rate
+    FROM documents JOIN rates ON documents.lang = rates.lang
+    WHERE (doc_id * 2654435761) % 10000 < CAST(keep_rate * 10000 AS BIGINT)
+    """,
+    tags=("B37", "llm", "pack"),
+    doc="Temperature resampling across language groups (alpha = 0.5, "
+    "target fraction 0.5): per-group keep rates flatten the skewed lang "
+    "distribution, and membership is a deterministic Knuth multiplicative "
+    "hash of doc_id against the group rate — reproducible at any scale, "
+    "no RNG state. The rate table is group-cardinality-bounded "
+    "(broadcastable); the fact side is filtered in one scan.",
+)
+def b56_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    wall = Window.partitionBy()
+    rates = (
+        counts.withColumn("total", F.sum("n").over(wall))
+        .withColumn("w", F.pow(F.col("n") / F.col("total"), 0.5))
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5)
+                * F.col("total")
+                * (F.col("w") / F.sum("w").over(wall))
+                / F.col("n"),
+            ),
+        )
+        .select("lang", "keep_rate")
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(
+            (F.col("doc_id") * F.lit(2654435761)) % 10000
+            < (F.col("keep_rate") * 10000).cast("bigint")
+        )
+        .select("doc_id", "lang", dround("keep_rate", 4).alias("keep_rate"))
+    )
+
+
+@query(
+    "b56_unigram_logprob",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS cnt,
+             CAST(sum(count(*)) OVER () AS DOUBLE) AS total
+      FROM toks GROUP BY tok
+    ),
+    lp AS (  -- fixed-precision log-probs: exact, order-independent sums
+      SELECT tok, CAST(round(log10(cnt / total) * 1000000) / 1000000
+                       AS DECIMAL(12,6)) AS lp
+      FROM vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(lp) AS DOUBLE) / count(*) AS DOUBLE) AS mean_logp
+    FROM toks JOIN lp USING (tok)
+    GROUP BY doc_id
+    """,
+    tags=("B37", "llm", "pack"),
+    doc="CCNet-style unigram log-probability quality score: corpus unigram "
+    "model → per-document mean log10 p(token). Low scores flag gibberish "
+    "for filtering. The vocab relation is vocabulary-bounded "
+    "(broadcastable at real scale); per-token log-probs are rounded to "
+    "6dp and summed as DECIMAL so the aggregate is exact and "
+    "shuffle-order-independent. Data-proportional output — no final sort.",
+)
+def b56_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_toks()).alias("tok"))
+    )
+    wall = Window.partitionBy()
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(wall))
+        .select(
+            "tok",
+            (F.round(F.log10(F.col("cnt") / F.col("total")) * 1000000) / 1000000)
+            .cast("decimal(12,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.sum("lp").cast("double") / F.count("*")).cast("double").alias("mean_logp"),
+        )
+    )
+
+
+@query(
+    "b56_bigram_stats",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t
+    ),
+    uni AS (
+      SELECT unnest(toks) AS tok FROM t
+    ),
+    bc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+    uc AS (SELECT tok, count(*) AS w1_cnt FROM uni GROUP BY tok)
+    SELECT bigram, CAST(cnt AS BIGINT) AS cnt,
+           round(CAST(cnt AS DOUBLE) / w1_cnt * 10000) / 10000 AS cond_prob
+    FROM bc JOIN uc ON split_part(bigram, ' ', 1) = uc.tok
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+    tags=("B37", "llm", "pack"),
+    doc="Corpus bigram statistics: top-20 bigrams with the conditional "
+    "probability p(w2 | w1) = cnt(w1 w2)/cnt(w1) — the n-gram LM building "
+    "block (contamination n-gram indexes, repetition priors). Bigrams are "
+    "built array-side (transform over the token array, no self-join); "
+    "counts shuffle on the hashed bigram key; the unigram attach is a "
+    "bounded-vocabulary broadcast.",
+)
+def b56_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = T(spark, sf_dir, "documents").select(_toks().alias("toks"))
+    bigrams = t.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', toks[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    unigrams = t.select(F.explode("toks").alias("tok"))
+    bc = bigrams.groupBy("bigram").agg(F.count("*").cast("bigint").alias("cnt"))
+    uc = unigrams.groupBy("tok").agg(F.count("*").alias("w1_cnt"))
+    return (
+        bc.join(
+            F.broadcast(uc),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("tok"),
+        )
+        .select(
+            "bigram",
+            "cnt",
+            dround(F.col("cnt").cast("double") / F.col("w1_cnt"), 4).alias("cond_prob"),
+        )
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
