@@ -97,7 +97,10 @@ def b56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, documents.lang AS lang,
            round(keep_rate * 10000) / 10000 AS keep_rate
     FROM documents JOIN rates ON documents.lang = rates.lang
-    WHERE (doc_id * 2654435761) % 10000 < CAST(keep_rate * 10000 AS BIGINT)
+    -- explicit floor: DuckDB's CAST(double AS BIGINT) rounds to nearest
+    -- while Spark's truncates — a bare cast would put the two engines'
+    -- thresholds one apart whenever the rate is not an exact 1/10000
+    WHERE (doc_id * 2654435761) % 10000 < CAST(floor(keep_rate * 10000) AS BIGINT)
     """,
     tags=("B37", "llm", "pack"),
     doc="Temperature resampling across language groups (alpha = 0.5, "
@@ -130,7 +133,8 @@ def b56_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "lang")
         .where(
             (F.col("doc_id") * F.lit(2654435761)) % 10000
-            < (F.col("keep_rate") * 10000).cast("bigint")
+            # floor on both sides (see oracle): bare casts round vs truncate
+            < F.floor(F.col("keep_rate") * 10000).cast("bigint")
         )
         .select("doc_id", "lang", dround("keep_rate", 4).alias("keep_rate"))
     )
