@@ -352,6 +352,8 @@ class _BitReader:
             raise _ScanEnd()
         b = self.raw[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.raw):
+                raise _ScanEnd()  # truncated right after an FF byte
             nxt = self.raw[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -416,6 +418,9 @@ def parse_jpeg(raw: bytes) -> np.ndarray:
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # optional 0xFF fill bytes before a marker are legal (T.81 B.1.1.2)
+        while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -535,6 +540,11 @@ def _decode_scan(raw, pos, frame, qts, huff, scan_tables, restart_interval):
     except _ScanEnd:
         if not complete:
             raise ValueError("entropy-coded data ended before the last MCU")
+    except _RestartMarker:
+        # a RSTn outside the expected restart phase (bit error, or a foreign
+        # DRI cadence): surface the documented error type, never the
+        # internal control-flow exception
+        raise ValueError("unexpected restart marker in entropy-coded data")
 
     out = np.zeros((h, w, 3), dtype=np.float64)
     for ci, (cid, hi, vi, tq) in enumerate(comps[:3]):

@@ -63,20 +63,20 @@ def b56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    budget = F.lit(256)
     packed = docs.withColumn(
         "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
-    last = F.col("cum_before") + F.col("n_tokens") - 1
+    # integer `div`, not double /: a double loses exactness past 2^53
+    # cumulative tokens while the oracle's `//` stays exact at any magnitude
+    start = F.expr("cum_before div 256")
+    end = F.expr("(cum_before + n_tokens - 1) div 256")
     return packed.select(
         "doc_id",
         "source",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.floor(F.col("cum_before") / budget).cast("bigint").alias("start_seq"),
-        F.floor(last / budget).cast("bigint").alias("end_seq"),
-        (F.floor(last / budget) - F.floor(F.col("cum_before") / budget) + 1)
-        .cast("bigint")
-        .alias("n_seqs"),
+        start.cast("bigint").alias("start_seq"),
+        end.cast("bigint").alias("end_seq"),
+        (end - start + 1).cast("bigint").alias("n_seqs"),
     )
 
 
@@ -88,19 +88,33 @@ def b56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(count(*)) OVER () AS DOUBLE) AS total
       FROM documents GROUP BY lang
     ),
-    rates AS (  -- temperature alpha = 0.5 flattens the source distribution
-      SELECT lang,
-             least(1.0, 0.5 * total * (pow(n / total, 0.5)
-                   / sum(pow(n / total, 0.5)) OVER ()) / n) AS keep_rate
+    w AS (  -- temperature alpha = 0.5 flattens the lang distribution.
+            -- sqrt (unlike pow) is IEEE-correctly-rounded in both engines,
+            -- and the weights are rounded to 9dp DECIMALs before the
+            -- normalizing sum so it is exact and order-independent.
+      SELECT lang, n, total,
+             CAST(round(sqrt(n / total) * 1000000000) / 1000000000
+                  AS DECIMAL(20,9)) AS wd
       FROM counts
+    ),
+    rates AS (
+      SELECT lang,
+             least(1.0, 0.5 * total
+                   * (CAST(wd AS DOUBLE) / CAST(sum(wd) OVER () AS DOUBLE))
+                   / n) AS keep_rate
+      FROM w
     )
     SELECT doc_id, documents.lang AS lang,
            round(keep_rate * 10000) / 10000 AS keep_rate
     FROM documents JOIN rates ON documents.lang = rates.lang
     -- explicit floor: DuckDB's CAST(double AS BIGINT) rounds to nearest
     -- while Spark's truncates — a bare cast would put the two engines'
-    -- thresholds one apart whenever the rate is not an exact 1/10000
-    WHERE (doc_id * 2654435761) % 10000 < CAST(floor(keep_rate * 10000) AS BIGINT)
+    -- thresholds one apart whenever the rate is not an exact 1/10000.
+    -- The doc hash reduces doc_id by a prime BEFORE the Knuth multiply so
+    -- the product never overflows int64 (Spark would silently wrap to a
+    -- negative value — keeping every high doc_id — while the oracle errors).
+    WHERE ((doc_id % 1000003) * 2654435761) % 10000
+          < CAST(floor(keep_rate * 10000) AS BIGINT)
     """,
     tags=("B37", "llm", "pack"),
     doc="Temperature resampling across language groups (alpha = 0.5, "
@@ -116,14 +130,20 @@ def b56_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.partitionBy()
     rates = (
         counts.withColumn("total", F.sum("n").over(wall))
-        .withColumn("w", F.pow(F.col("n") / F.col("total"), 0.5))
+        # sqrt is correctly rounded (pow is not); 9dp-decimal weights make
+        # the normalizing sum exact and order-independent — see the oracle
+        .withColumn(
+            "wd",
+            (F.round(F.sqrt(F.col("n") / F.col("total")) * 1000000000) / 1000000000)
+            .cast("decimal(20,9)"),
+        )
         .withColumn(
             "keep_rate",
             F.least(
                 F.lit(1.0),
                 F.lit(0.5)
                 * F.col("total")
-                * (F.col("w") / F.sum("w").over(wall))
+                * (F.col("wd").cast("double") / F.sum("wd").over(wall).cast("double"))
                 / F.col("n"),
             ),
         )
@@ -132,7 +152,8 @@ def b56_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(F.broadcast(rates), "lang")
         .where(
-            (F.col("doc_id") * F.lit(2654435761)) % 10000
+            # prime-reduce BEFORE the multiply: int64-overflow-safe (see oracle)
+            ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 10000
             # floor on both sides (see oracle): bare casts round vs truncate
             < F.floor(F.col("keep_rate") * 10000).cast("bigint")
         )
@@ -182,7 +203,7 @@ def b56_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total", F.sum("cnt").over(wall))
         .select(
             "tok",
-            (F.round(F.log10(F.col("cnt") / F.col("total")) * 1000000) / 1000000)
+            dround(F.log10(F.col("cnt") / F.col("total")), 6)
             .cast("decimal(12,6)")
             .alias("lp"),
         )

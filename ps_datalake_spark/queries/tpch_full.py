@@ -344,7 +344,7 @@ def b55_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH eu_ps AS (
       SELECT l_partkey,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       WHERE s_nationkey IN (SELECT n_nationkey FROM nation
@@ -352,9 +352,12 @@ def b55_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
                             WHERE r_name = 'EUROPE')
       GROUP BY l_partkey
     )
-    SELECT l_partkey AS p_partkey, value
+    SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS value
     FROM eu_ps
-    WHERE value > (SELECT 1.25 * avg(value) FROM eu_ps)
+    -- threshold from EXACT decimal sums (an avg over unrounded doubles is
+    -- an order-dependent float sum whose last ulps differ between engines)
+    WHERE CAST(value_dec AS DOUBLE)
+          > (SELECT 1.25 * CAST(sum(value_dec) AS DOUBLE) / count(*) FROM eu_ps)
     ORDER BY value DESC, p_partkey
     """,
     tags=("B7", "B10", "tpch"),
@@ -385,17 +388,20 @@ def b55_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_suppkey", "l_extendedprice")
         .join(s_eu, F.col("l_suppkey") == F.col("s_suppkey"), "semi")
         .groupBy("l_partkey")
-        .agg(
-            # exact decimal sum (2dp inputs) cast to double: bit-identical in
-            # both engines, so the threshold compare and output never drift
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("value")
+        # exact decimal sums (2dp inputs): the per-part values AND the
+        # threshold derive from decimal arithmetic cast to double at the end,
+        # so both sides of the compare are bit-identical in both engines (an
+        # avg over unrounded doubles would be an order-dependent float sum)
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value_dec"))
+    )
+    thresh = per_part.agg(
+        (F.lit(1.25) * F.sum("value_dec").cast("double") / F.count("*")).alias(
+            "threshold"
         )
     )
-    thresh = per_part.agg((F.lit(1.25) * F.avg("value")).alias("threshold"))
     return (
-        per_part.crossJoin(F.broadcast(thresh))
+        per_part.withColumn("value", F.col("value_dec").cast("double"))
+        .crossJoin(F.broadcast(thresh))
         .where(F.col("value") > F.col("threshold"))
         .select(F.col("l_partkey").alias("p_partkey"), "value")
         .orderBy(F.col("value").desc(), "p_partkey")

@@ -109,3 +109,40 @@ def test_quality_tables_ijg_formula():
     assert (lum90 == np.clip((J.STD_LUM_QT * 20 + 50) // 100, 1, 255)).all()
     lum100, _ = J.quality_tables(100)
     assert (lum100 == 1).all()  # scale 0 clips every entry to 1
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """Optional 0xFF fill bytes before a marker are legal (T.81 B.1.1.2)."""
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, :] = (40, 80, 120)
+    raw = J.encode_jpeg(img, quality=75)
+    # inject a fill byte before the DQT marker (first FF DB occurrence)
+    i = raw.index(b"\xff\xdb")
+    padded = raw[:i] + b"\xff" + raw[i:]
+    assert (J.parse_jpeg(padded) == J.parse_jpeg(raw)).all()
+
+
+def test_truncation_after_ff_byte_raises_value_error():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, :] = (40, 80, 120)
+    raw = J.encode_jpeg(img, quality=75)
+    # cut immediately after every FF in the entropy segment tail: must raise
+    # the documented ValueError, never IndexError
+    sos = raw.index(b"\xff\xda")
+    for i in range(sos, len(raw)):
+        if raw[i] == 0xFF:
+            with pytest.raises(ValueError):
+                J.parse_jpeg(raw[: i + 1])
+            break
+
+
+def test_stray_restart_marker_raises_value_error():
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, :] = (40, 80, 120)
+    raw = bytearray(J.encode_jpeg(img, quality=75))
+    # plant FF D3 a few bytes into the entropy-coded data (no DRI declared)
+    sos = bytes(raw).index(b"\xff\xda")
+    inject = sos + 14
+    raw[inject : inject] = b"\xff\xd3"
+    with pytest.raises(ValueError):
+        J.parse_jpeg(bytes(raw))
