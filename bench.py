@@ -142,6 +142,12 @@ SCALE300_QUERIES = [
     "b05_tpch_q5",
 ]
 
+# 1000x probe (lineitem ≈600M rows, ~14 GB): opt-in via
+# SPARK_GRAFT_SCALE1000=1 — the corpus build + runs cost minutes, too slow
+# for the per-round driver bench; the measured point is recorded in
+# BASELINE.md / PLANS.md and reproducible with the flag.
+SCALE1000_QUERIES = SCALE300_QUERIES
+
 SCALE_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -525,6 +531,24 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     except Exception as e:
         scale300_err = f"{type(e).__name__}: {e}"
 
+    # ---- 1000x scale probe: OPT-IN (see SCALE1000_QUERIES) -----------------
+    scale1000_times: dict[str, float] = {}
+    scale1000_duck: dict[str, float] = {}
+    scale1000_err = None
+    try:
+        if os.environ.get("SPARK_GRAFT_SCALE1000", "0") == "1":
+            s1000_dir = _build_scaled_dir(
+                sf_dir, factor=1000,
+                scale_tables={"lineitem", "orders", "customer", "supplier"},
+            )
+            _recycle()
+            _apply_profile(spark, s1000_dir, cpus, aqe=True)
+            for name in SCALE1000_QUERIES:
+                scale1000_times[name] = _time_spark_scaled(name, s1000_dir)
+            scale1000_duck = _time_duckdb(specs, SCALE1000_QUERIES, s1000_dir)
+    except Exception as e:
+        scale1000_err = f"{type(e).__name__}: {e}"
+
     # honest engine-vs-DuckDB summary over the comparable set (queries whose
     # oracle performs equivalent work; VERIFICATION_ORACLES excluded above)
     comp_spark = round(sum(times[n] for n in duck_times), 3)
@@ -564,6 +588,12 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             "queries": scale300_times,
             "duckdb": scale300_duck,
             "error": scale300_err,
+        },
+        "scale1000": {
+            "factor": 1000,
+            "queries": scale1000_times,
+            "duckdb": scale1000_duck,
+            "error": scale1000_err,
         },
     }
     print(json.dumps(payload))
