@@ -416,6 +416,10 @@ class Store:
 
         old = self.manifest.get(f"{sub}_dir") or sub
         self.manifest[f"{sub}_dir"] = new_dir
+        # time-travel pointer: the retained generation stays addressable
+        # (Store.chunks_at(-1)) until the NEXT maintenance op supersedes it —
+        # retention depth 1, matching the sweep below
+        self.manifest[f"{sub}_prev_dir"] = old
         mf_path = os.path.join(self.path, "manifest.json")
         tmp = mf_path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
@@ -443,6 +447,34 @@ class Store:
 
     def chunks(self) -> DataFrame:
         return self._read_or_empty("chunks", CHUNKS_SCHEMA)
+
+    def chunks_at(self, generation: int = 0) -> DataFrame:
+        """Time-travel read of the chunks dataset.
+
+        ``generation=0`` is the active generation (same as ``chunks()``);
+        ``generation=-1`` is the snapshot superseded by the most recent
+        maintenance op (compact/vacuum), which ``_commit_generation`` retains
+        on disk with a ``chunks_prev_dir`` manifest pointer — the reader-side
+        half of the copy-on-write generation swap, the same contract as a
+        table format's snapshot read. Retention depth is 1: the next
+        maintenance op supersedes (and sweeps) this snapshot.
+        """
+        if generation == 0:
+            return self.chunks()
+        if generation != -1:
+            raise ValueError(f"only generations 0 and -1 are retained, got {generation}")
+        try:
+            with open(os.path.join(self.path, "manifest.json")) as f:
+                prev = json.load(f).get("chunks_prev_dir")
+        except Exception:
+            prev = self.manifest.get("chunks_prev_dir")
+        if not prev:
+            raise NotFound(
+                "no previous chunks generation (no maintenance op has run)"
+            )
+        return self.spark.read.schema(CHUNKS_SCHEMA).parquet(
+            os.path.join(self.path, prev)
+        )
 
     def manifests(self) -> DataFrame:
         return self._read_or_empty("manifests", MANIFESTS_SCHEMA)

@@ -357,3 +357,67 @@ def b38_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_chunks, n_ingested)], "n_chunks bigint, n_ingested bigint"
     )
+
+
+@query(
+    "b38_time_travel",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, sha256(text) AS h, octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT CAST((SELECT count(DISTINCT h) FROM d WHERE n > {_RAW_MAX}
+                 AND doc_id % 2 = 0) + 1 AS BIGINT) AS n_current,
+           CAST((SELECT count(DISTINCT h) FROM d WHERE n > {_RAW_MAX}) + 1
+                AS BIGINT) AS n_snapshot,
+           true AS vacuumed_chunk_in_snapshot,
+           false AS vacuumed_chunk_in_current
+    FROM (SELECT 1)
+    """,
+    tags=("B38", "lake"),
+    doc="Generation time travel: put all documents, vacuum with only the "
+    "even-doc hkeys as roots (copy-on-write generation swap), then read "
+    "BOTH the active generation and the retained snapshot via "
+    "Store.chunks_at(-1). The snapshot must still hold every pre-vacuum "
+    "chunk — including a specific vacuumed-away odd-doc hash that the "
+    "active generation must no longer contain — the reader-side contract "
+    "of the atomic generation swap (same semantics as a table format's "
+    "snapshot read). Fresh store per invocation because vacuum mutates "
+    "reachability.",
+)
+def b38_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _fresh_store(spark, "q_store_ttravel")
+    blobs = _doc_blobs(spark, sf_dir)
+    hkeys = store.put_blobs(blobs).persist()
+    try:
+        hkeys.count()
+        roots = hkeys.where(F.col("id") % 2 == 0)
+        store.vacuum(roots.select("hkey"))
+        n_current = store.chunks().count()
+        snapshot = store.chunks_at(-1)
+        n_snapshot = snapshot.count()
+
+        # a chunk vacuumed away (odd doc, non-inline, hash not shared with
+        # any even doc) must exist in the snapshot but not the active gen
+        gone = (
+            hkeys.where((F.col("id") % 2 == 1) & ~F.col("hkey").startswith("raw:"))
+            .join(
+                roots.where(~F.col("hkey").startswith("raw:")).select("hkey"),
+                "hkey",
+                "left_anti",
+            )
+            .orderBy("id")
+            .head(1)
+        )
+        in_snap = in_cur = None
+        if gone:
+            from ..lake.hkey import Hkey as _Hkey
+
+            h = _Hkey.decode(gone[0]["hkey"]).hash
+            in_snap = snapshot.where(F.col("hash") == h).count() > 0
+            in_cur = store.chunks().where(F.col("hash") == h).count() > 0
+    finally:
+        hkeys.unpersist()
+    return spark.createDataFrame(
+        [(n_current, n_snapshot, bool(in_snap), bool(in_cur))],
+        "n_current bigint, n_snapshot bigint, "
+        "vacuumed_chunk_in_snapshot boolean, vacuumed_chunk_in_current boolean",
+    )

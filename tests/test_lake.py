@@ -353,3 +353,24 @@ def test_inline_max_is_a_config_knob(spark, tmp_path):
         json.dump(manifest, f)
     with pytest.raises(Corrupted):
         Store.open(spark, path)
+
+
+def test_chunks_at_time_travel(store, spark):
+    """chunks_at(-1) must read the generation retained by the last
+    maintenance op; before any maintenance it raises NotFound; only
+    generations 0/-1 are addressable (retention depth 1)."""
+    with pytest.raises(NotFound):
+        store.chunks_at(-1)
+    hk_a = store.put_blob(_blob(5000))
+    hk_b = store.put_blob(_blob(6000))
+    n_before = store.chunks().count()
+    store.vacuum(spark.createDataFrame([(hk_a,)], "hkey string"))
+    assert store.chunks().count() < n_before, "vacuum must drop unreachable chunks"
+    snap = store.chunks_at(-1)
+    assert snap.count() == n_before, "snapshot must hold the pre-vacuum state"
+    assert store.chunks_at(0).count() == store.chunks().count()
+    with pytest.raises(ValueError):
+        store.chunks_at(-2)
+    # a second maintenance op supersedes the snapshot (depth-1 retention)
+    store.compact(target_file_bytes=1 << 20)
+    assert store.chunks_at(-1).count() == store.chunks().count()
