@@ -139,3 +139,39 @@ def test_apply_in_pandas_with_state(spark, stream_dir):
         final[r["user_id"]] = (r["n_events"], r["total_value"])
     assert final[1] == (3, 7.0), rows  # 1+2 in batch1, +4 in batch2
     assert final[2] == (1, 8.0), rows
+
+
+def test_stateful_results_identical_under_rocksdb_provider(spark, sf_dir):
+    """State-backend independence: the custom stateful operator must produce
+    the same final per-user states under the RocksDB state-store provider —
+    the production backend whose on-disk state survives executor loss at
+    100 TB — as under the default HDFS-backed provider. The provider conf is
+    read per-query-start, so it can be flipped on a live session."""
+    from ps_datalake_spark.queries.event_windows import _events_stream, _run_to_memory
+
+    def run(provider: str | None):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            out = running_user_stats(_events_stream(spark, sf_dir))
+            mem = _run_to_memory(out, "update")
+            final = (
+                mem.groupBy("user_id")
+                .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+                .select("user_id", "s.n_events", "s.total_value")
+            )
+            return sorted(tuple(r) for r in final.collect())
+        finally:
+            if provider:
+                if old:
+                    spark.conf.set(key, old)
+                else:
+                    spark.conf.unset(key)
+
+    default = run(None)
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    assert default == rocks and len(default) > 0
