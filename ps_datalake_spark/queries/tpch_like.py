@@ -178,13 +178,15 @@ def b05_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while that stays broadcastable, lineitem is NEVER shuffled — the whole
     # query is one scan pass through two broadcast joins + a 25-group agg.
     # Past the threshold it degrades to the keyed shuffle-hash join, the
-    # correct cluster plan at that size.  The 24 MB flip point is MEASURED,
-    # answering the r4 verdict's "should oc flip to shuffle earlier?" probe:
-    # broadcast wins at the 100x probe (2.23 s vs 2.41 s; oc est 18 MB,
-    # 900k rows) and loses at 300x (5.94 s vs 3.77 s; oc est 36 MB, 2.7M
-    # rows — the per-run driver-side hashed-relation build dominates).
+    # correct cluster plan at that size.  The 8 MB flip point is MEASURED
+    # (re-measured r5 after the split/partition autosizing + AQE runtime
+    # bloom filter landed; the r4-era 24 MB point predates them): at the
+    # 100x probe (oc est 12.7 MB, 900k rows) interleaved A/B gives
+    # shuffle-hash 1.10-1.31 s vs broadcast 1.51-1.71 s — the per-run
+    # driver-side hashed-relation build dominates past ~8 MB — while at 10x
+    # (oc est 1.3 MB) broadcast keeps the fact scan exchange-free.
     ord_bytes = table_bytes(sf_dir, "orders")
-    if ord_bytes is not None and ord_bytes // 15 < 24 << 20:
+    if ord_bytes is not None and ord_bytes // 15 < 8 << 20:
         oc = F.broadcast(oc)
     else:
         oc = oc.hint("shuffle_hash")
