@@ -461,7 +461,12 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             spark.catalog.clearCache()  # see _time_spark: drop persisted leftovers
         else:
             df = build(spark, data_dir)
-            _force(df)  # warmup
+            # 2 warmups: on a multi-GB scaled dir the FIRST run can be a cold
+            # page-cache read several times the settled time (measured q1 at
+            # 300x: 4.7 s cold → 1.3-1.5 s settled), and one warmup left the
+            # min-of-2 still catching a half-cold number in a recorded run
+            _force(df)
+            _force(df)
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
