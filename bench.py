@@ -255,13 +255,11 @@ def _force(df) -> int:
 
 
 def _input_bytes(sf_dir: str) -> int:
-    total = 0
-    for t in SCALE_TABLES:
-        try:
-            total += os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
-        except OSError:
-            pass
-    return total
+    # table_bytes handles directory-style datasets (sums part files rather
+    # than reading the ~4 KB directory inode — the ADVICE-r3 bug class)
+    from ps_datalake_spark.queries._util import table_bytes
+
+    return sum(table_bytes(sf_dir, t) or 0 for t in SCALE_TABLES)
 
 
 def _auto_partitions(sf_dir: str, cpus: int) -> int:
@@ -288,12 +286,9 @@ def _auto_split_bytes(sf_dir: str, cpus: int) -> int:
     Two waves over the biggest table also gives every smaller table ≥1 task
     per few cores.  Clamped to [1 MB, 128 MB]; at real scale this returns
     the 128 MB default."""
-    biggest = 0
-    for t in SCALE_TABLES:
-        try:
-            biggest = max(biggest, os.path.getsize(os.path.join(sf_dir, f"{t}.parquet")))
-        except OSError:
-            pass
+    from ps_datalake_spark.queries._util import table_bytes
+
+    biggest = max((table_bytes(sf_dir, t) or 0 for t in SCALE_TABLES), default=0)
     return max(1 << 20, min(128 << 20, biggest // (2 * cpus)))
 
 
@@ -451,6 +446,15 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     def _time_spark_scaled(name: str, data_dir: str) -> float:
         build = specs[name].build
         if name in EAGER_BUILDERS:
+            # HEAVY profile, same policy as _time_spark: multi-stage
+            # persisted pipelines want AQE + default splits — the light
+            # probe profile's ~2 MB splits shatter their intermediate scans
+            # (measured at sf0.1: b38 6.5 s light vs 2.4 s heavy)
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(_auto_partitions(data_dir, cpus))
+            )
             _force(build(spark, data_dir))  # warmups (see _time_spark)
             _force(build(spark, data_dir))
             best = float("inf")
@@ -459,6 +463,7 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
                 _force(build(spark, data_dir))
                 best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()  # see _time_spark: drop persisted leftovers
+            _apply_profile(spark, data_dir, cpus, aqe=True)  # restore probe profile
         else:
             df = build(spark, data_dir)
             # 2 warmups: on a multi-GB scaled dir the FIRST run can be a cold
@@ -529,6 +534,7 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
                 sf_dir, factor=300,
                 scale_tables={"lineitem", "orders", "customer", "supplier"},
             )
+            _recycle()
             _apply_profile(spark, s300_dir, cpus, aqe=True)
             for name in SCALE300_QUERIES:
                 scale300_times[name] = _time_spark_scaled(name, s300_dir)

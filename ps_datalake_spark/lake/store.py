@@ -168,6 +168,10 @@ class Store:
     ) -> "Store":
         if not 0 <= inline_max <= MAX_DECRYPTED_SIZE:
             raise ValueError(f"inline_max out of range: {inline_max}")
+        # mirror Store.open's check: creating with an out-of-range prefix_len
+        # would mint a store every subsequent open rejects as Corrupted
+        if not isinstance(prefix_len, int) or not 1 <= prefix_len <= 8:
+            raise ValueError(f"invalid prefix_len: {prefix_len!r}")
         os.makedirs(path, exist_ok=True)
         manifest = {
             "magic": MAGIC,
@@ -286,6 +290,7 @@ class Store:
 
         @contextlib.contextmanager
         def _ctx():
+            fd = None
             for attempt in (0, 1):
                 try:
                     fd = os.open(lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -311,6 +316,14 @@ class Store:
                     with contextlib.suppress(OSError):
                         if os.stat(lease_path).st_ino == stale_ino:
                             os.unlink(lease_path)
+            if fd is None:
+                # both attempts fell through via `continue` (holder released
+                # and a new contender re-created the lease each time): the
+                # store is contended — fail fast like any other lost race
+                # (a bare loop exit here used to crash with UnboundLocalError)
+                raise StoreBusy(
+                    f"{self.path}: write lease contended for op {op!r}"
+                )
             mine = {"pid": os.getpid(), "ts": _time.time(), "op": op}
             try:
                 with os.fdopen(fd, "w") as f:
@@ -414,13 +427,25 @@ class Store:
         """
         import shutil as _sh
 
+        # Re-read the ON-DISK manifest first: the write lease serializes
+        # maintenance ops but does not refresh THIS handle's memory — a
+        # long-lived handle whose last read predates another process's
+        # compact would otherwise derive `old` from a stale pointer (sweeping
+        # the generation concurrent readers hold) and clobber every other
+        # pointer that process committed (e.g. manifests_dir) when it dumps
+        # its stale dict back to disk.
+        mf_path = os.path.join(self.path, "manifest.json")
+        try:
+            with open(mf_path) as f:
+                self.manifest = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass  # keep the in-memory view (fresh store mid-create)
         old = self.manifest.get(f"{sub}_dir") or sub
         self.manifest[f"{sub}_dir"] = new_dir
         # time-travel pointer: the retained generation stays addressable
         # (Store.chunks_at(-1)) until the NEXT maintenance op supersedes it —
         # retention depth 1, matching the sweep below
         self.manifest[f"{sub}_prev_dir"] = old
-        mf_path = os.path.join(self.path, "manifest.json")
         tmp = mf_path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(self.manifest, f, indent=2)
@@ -498,6 +523,15 @@ class Store:
         src = df.select(
             F.col(id_col).cast("long").alias("id"), F.col(data_col).alias("data")
         ).withColumn("_sz", F.length("data").cast("long"))
+        # NULL payloads match no size tier and would silently vanish from the
+        # returned (id, hkey) mapping — fail loudly instead (get_blobs makes
+        # the opposite guarantee: every input id appears in its output)
+        null_row = src.where(F.col("data").isNull()).select("id").head(1)
+        if null_row:
+            raise ValueError(
+                f"put_blobs: NULL {data_col!r} for id {null_row[0]['id']} — "
+                "blobs must be non-null bytes (use b'' for empty)"
+            )
         with self._write_lease("put_blobs"):
             src.persist()
             try:
@@ -840,18 +874,20 @@ class Store:
             ),
             "id long, seq int, data binary",
         )
-        assembled = (
-            kid_plain.groupBy("id")
-            .agg(
-                F.aggregate(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seq", "data"))),
-                        lambda s: s.getField("data"),
-                    ),
-                    F.lit(b""),
-                    lambda acc, x: F.concat(acc, x),
-                ).alias("data")
-            )
+        def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+            # linear reassembly: sort by seq and b''.join once.  The previous
+            # F.aggregate(concat) fold rebuilt the accumulator per child —
+            # O(n²) bytes copied per blob, terabytes of memory traffic for a
+            # GB-scale tree; join is one pass, matching the point-read path.
+            pdf = pdf.sort_values("seq")
+            if pdf["data"].isna().any():
+                data = None  # a missing child poisons the blob (batch contract)
+            else:
+                data = b"".join(bytes(x) for x in pdf["data"])
+            return pd.DataFrame({"id": [int(pdf["id"].iloc[0])], "data": [data]})
+
+        assembled = kid_plain.groupBy("id").applyInPandas(
+            _assemble, "id long, data binary"
         )
         out_parts.append(assembled)
 

@@ -331,6 +331,25 @@ def b32_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import scratch_dir
 
     configure(spark)
+    # sweep STALE prior-invocation scratch (each run needs a FRESH
+    # checkpoint — the memory sink cannot resume one — so the dirs are
+    # uuid-keyed, but without a sweep every driver/bench run leaks one
+    # forever). Only dirs idle >1h are removed: the result DataFrame reads
+    # its out/ lazily, and a concurrent process's live run must not be raced.
+    import re as _re
+    import shutil as _sh
+    import time as _time
+
+    parent = os.path.dirname(scratch_dir("x"))
+    cutoff = _time.time() - 3600
+    for d in os.listdir(parent):
+        full = os.path.join(parent, d)
+        try:
+            stale = os.path.getmtime(full) < cutoff
+        except OSError:
+            continue
+        if stale and _re.fullmatch(r"late_data_[0-9a-f]{8}", d):
+            _sh.rmtree(full, ignore_errors=True)
     base = scratch_dir(f"late_data_{uuid.uuid4().hex[:8]}")
     src_dir = os.path.join(base, "src")
     cp = os.path.join(base, "cp")

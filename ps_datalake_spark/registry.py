@@ -78,10 +78,10 @@ _DRIVER_GREEN_R01 = frozenset(
 )
 
 
-# Queries first registered in round 2 (absent from round 1's registry).  The
-# r01-unchecked + r01-red set fills the driver's 50-slot window exactly, so
-# brand-new queries sort AFTER it (they get their driver row in round 3)
-# rather than pushing an r01-unchecked query out of the window.
+# Queries first registered in round 2 (kept for provenance only — like
+# _CONVERTED_IN_R03 below, no code path consults this set anymore; the
+# historical round-2 ordering rule it implemented is superseded by the
+# evidence-age ranks in all_queries()).
 _NEW_IN_R02 = frozenset(
     {
         "b36_cosine_neardup_lsh",
