@@ -17,4 +17,6 @@ from . import event_windows  # noqa: F401
 from . import llm_ops  # noqa: F401
 from . import pipeline_ext  # noqa: F401
 from . import pipeline_pack  # noqa: F401
+from . import temporal_pack  # noqa: F401
+from . import warehouse_pack  # noqa: F401
 from . import lake_ops  # noqa: F401

@@ -1,0 +1,372 @@
+"""Warehouse/lakehouse operators (round 5, session 2): SCD Type-2 dimension
+builds, CDC latest-state compaction, corpus quality rules, HLL sketch
+partial-merge, graph triangle counting, and schema-evolution reads —
+the remaining staples a user migrating a warehouse workload expects.
+
+Scale design notes (100 TB):
+  * SCD2 and CDC compaction are per-key window passes — one shuffle on the
+    business key, then streaming within partitions (the canonical
+    distributed changelog-collapse);
+  * the HLL query is the mergeable-sketch pattern: per-partition sketches
+    union losslessly into a global estimate WITHOUT re-scanning — the only
+    way approximate distinct scales across 1000 executors (partial
+    aggregation of sketches, constant-size shuffle);
+  * triangle counting runs on the deduplicated edge list (distinct first,
+    enumerate second), so the two self-joins are bounded by the edge set,
+    not the fact table;
+  * schema evolution reads heterogeneous parquet batches with mergeSchema —
+    the pattern for long-lived datasets whose writers add columns over
+    time.
+
+Determinism: revenue-style sums use DECIMAL(18,2); booleans are INT-cast on
+both engines; window ties are totally ordered by (ts, event_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ._util import T, dim, dround, scratch_dir, tiny_sort
+
+
+@query(
+    "b58_scd2_dimension",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE user_id < 50
+    ),
+    ch AS (
+      SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+      FROM log
+    ),
+    scd AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM ch WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           CAST(valid_to IS NULL AS INT) AS is_current
+    FROM scd
+    """,
+    tags=("B15", "warehouse"),
+    doc="SCD Type-2 dimension build from a change log: consecutive "
+    "duplicate states are compressed with lag(), then each surviving "
+    "transition gets [valid_from, valid_to) from lead() — two window "
+    "passes over one (user_id) shuffle, the canonical distributed "
+    "slowly-changing-dimension materialization. Open rows carry "
+    "valid_to NULL + is_current 1. Data-proportional output — no final "
+    "sort (sorted-multiset compare).",
+)
+def b58_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = log.withColumn("prev", F.lag("event_type").over(w))
+    changes = ch.where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    scd = changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return scd.withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+
+
+@query(
+    "b58_cdc_latest_state",
+    oracle="""
+    WITH rn AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id, event_type AS last_type, CAST(v AS DOUBLE) AS last_value,
+           ts AS last_ts, CAST(n_events AS BIGINT) AS n_events
+    FROM rn WHERE rn = 1
+    """,
+    tags=("B14", "warehouse"),
+    doc="CDC latest-state compaction: collapse a changelog to one current "
+    "row per key with row_number() over (ts, event_id) DESC — the "
+    "snapshot-materialization half of upsert (b49_merge_upsert is the "
+    "write half). One shuffle on the key; at 100 TB this is the standard "
+    "compaction pass over a CDC topic dump.",
+)
+def b58_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wn = Window.partitionBy("user_id")
+    rn = T(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    ).withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_events", F.count("*").over(wn)
+    )
+    return rn.where(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("v").cast("double").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+_STOPWORDS = "'the','of','and','to','in','a','is','that','for','it'"
+
+
+@query(
+    "b59_gopher_quality",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+               AS total_chars,
+             len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+               AS n_alpha,
+             len(list_filter(toks, x -> list_contains([{_STOPWORDS}], x)))
+               AS n_stop
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(CAST(total_chars AS DOUBLE) / n_words * 10000) / 10000
+             AS mean_wlen,
+           round(CAST(n_alpha AS DOUBLE) / n_words * 10000) / 10000
+             AS alpha_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_words * 10000) / 10000
+             AS stop_ratio,
+           CAST(n_words BETWEEN 10 AND 10000
+                AND CAST(total_chars AS DOUBLE) / n_words BETWEEN 2 AND 12
+                AND CAST(n_alpha AS DOUBLE) / n_words >= 0.6
+                AND n_stop >= 1 AS INT) AS keep
+    FROM m
+    """,
+    tags=("B37", "llm", "quality"),
+    doc="Gopher-style corpus quality rules: word-count bounds, mean word "
+    "length window, alphabetic-token ratio, stopword presence — the "
+    "document-level heuristics a pretraining pipeline applies before "
+    "dedup. All array-side lambda expressions (transform/filter/"
+    "aggregate) — JVM-side, zero UDFs, one scan. Keep flags compare RAW "
+    "double ratios (identical bit patterns on both engines); only the "
+    "REPORTED ratios are rounded.",
+)
+def b59_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+    )
+    m = d.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.expr(
+            "aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)"
+        ).alias("total_chars"),
+        F.expr("size(filter(toks, x -> x rlike '^[a-z]+$'))").alias("n_alpha"),
+        F.expr(
+            f"size(filter(toks, x -> array_contains(array({_STOPWORDS}), x)))"
+        ).alias("n_stop"),
+    )
+    mean_wlen = F.col("total_chars").cast("double") / F.col("n_words")
+    alpha_ratio = F.col("n_alpha").cast("double") / F.col("n_words")
+    keep = (
+        F.col("n_words").between(10, 10000)
+        & mean_wlen.between(2, 12)
+        & (alpha_ratio >= 0.6)
+        & (F.col("n_stop") >= 1)
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        dround(mean_wlen, 4).alias("mean_wlen"),
+        dround(alpha_ratio, 4).alias("alpha_ratio"),
+        dround(F.col("n_stop").cast("double") / F.col("n_words"), 4).alias(
+            "stop_ratio"
+        ),
+        keep.cast("int").alias("keep"),
+    )
+
+
+@query(
+    "b60_hll_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           1 AS merge_lossless,
+           1 AS merged_exact_small_n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("B12", "warehouse"),
+    doc="Mergeable-sketch distinct counting: per-group Datasketches HLL "
+    "sketches union into a global estimate WITHOUT re-scanning the fact "
+    "table — the only distinct-count shape that scales across 1000 "
+    "executors (constant-size partials through the shuffle). The oracle "
+    "verifies the exact per-group counts plus two planted invariants the "
+    "sketch algebra guarantees: union-of-partials equals the direct "
+    "whole-table sketch (lossless merge), and at small cardinality the "
+    "sketch is in exact (coupon) mode so the estimate equals the true "
+    "distinct count.",
+)
+def b60_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id")
+    per = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    merged = per.agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")))
+        .cast("bigint")
+        .alias("merged_est")
+    )
+    direct = ev.agg(
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")))
+        .cast("bigint")
+        .alias("direct_est"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_total"),
+    )
+    out = (
+        per.select("event_type", "exact_users")
+        .crossJoin(F.broadcast(merged))  # 1-row scalar attach
+        .crossJoin(F.broadcast(direct))  # 1-row scalar attach
+        .select(
+            "event_type",
+            "exact_users",
+            (F.col("merged_est") == F.col("direct_est"))
+            .cast("int")
+            .alias("merge_lossless"),
+            (F.col("merged_est") == F.col("exact_total"))
+            .cast("int")
+            .alias("merged_exact_small_n"),
+        )
+    )
+    return tiny_sort(out, "event_type")
+
+
+@query(
+    "b61_triangle_count",
+    oracle="""
+    WITH trade AS (
+      SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                      greatest(c.c_nationkey, s.s_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    )
+    SELECT CAST((SELECT count(*) FROM trade) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*)
+                 FROM trade e1
+                 JOIN trade e2 ON e1.b = e2.a
+                 JOIN trade e3 ON e3.a = e1.a AND e3.b = e2.b)
+                AS BIGINT) AS n_triangles
+    """,
+    tags=("B5", "graph"),
+    doc="Graph triangle counting over the nation trade graph (an edge "
+    "(a,b) exists when any order ships customer-nation a goods from "
+    "supplier-nation b): edges are canonicalized a<b and DEDUPLICATED "
+    "FIRST, so the two enumeration self-joins are bounded by the edge "
+    "set, never the fact table. The a<b normalization makes each "
+    "triangle count exactly once (a<b<c chains). Same two-hash-join "
+    "shape as distributed triangle enumeration at clustered scale.",
+)
+def b61_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = dim(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        sf_dir,
+        "customer",
+    )
+    supp = dim(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+        sf_dir,
+        "supplier",
+    )
+    trade = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = trade.alias("e1")
+    e2 = trade.alias("e2")
+    e3 = trade.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    edges = trade.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return edges.crossJoin(F.broadcast(tri))  # two 1-row scalars
+
+
+@query(
+    "b62_schema_evolution",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+             AS with_priority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    """,
+    tags=("B1", "warehouse"),
+    doc="Schema-evolution read: two parquet batches written with DIFFERENT "
+    "schemas (the second writer added o_orderpriority) are read back as "
+    "one dataset with mergeSchema=true — old rows surface NULL for the "
+    "new column. The aggregate proves no rows were dropped and the new "
+    "column is populated exactly on the new batch. The oracle derives "
+    "the same numbers from the source table (batch membership is "
+    "o_orderkey parity).",
+)
+def b62_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("schema_evo")
+    orders = T(spark, sf_dir, "orders")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/b1")
+    v2.write.mode("overwrite").parquet(f"{path}/b2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/b1", f"{path}/b2"
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.count("o_orderpriority").cast("bigint").alias("with_priority"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )

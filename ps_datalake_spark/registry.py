@@ -235,10 +235,12 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries as _  # noqa: F401
 
     # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
-    # Round-5 window = rank 0 (brand-new r5 queries + the b37_tfidf_ml
-    # conversion) + rank 1 (the 28 queries whose freshest green evidence is
-    # round 2 — three rounds old) + as many rank-2 r3-greens as fit; the 50
-    # r4-verified queries (freshest evidence) rotate to the back.
+    # Round-5 window = rank 0 (the 32 brand-new r5 queries + the
+    # b37_tfidf_ml conversion + the 4 ORDER-BY retunes) + as many rank-1
+    # queries (freshest green evidence round 2 — three rounds old) as fit;
+    # 18 of those 28 make the cut this round, the remaining 10 queue for
+    # round 6 ahead of everything r3/r4-verified. The 50 r4-verified
+    # queries (freshest evidence) rotate to the back.
     def rank(name: str) -> int:
         if name in _CONVERTED_IN_R05 or name in _RETUNED_IN_R05:
             return 0

@@ -66,18 +66,34 @@ def test_driver_window_covers_unchecked_queries():
 
     names = list(SPECS)
     window = set(names[:50])
-    assert _CONVERTED_IN_R05 <= window, "converted queries need a fresh driver row"
-    assert _RETUNED_IN_R05 <= window, "retuned query/oracle pairs need a fresh driver row"
+    ever_green = (
+        _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02 | _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04
+    )
+    # rank 0: brand-new round-5 queries + conversions + retunes — these have
+    # NO driver evidence (or stale-oracle evidence) and must land in the window
+    rank0 = (set(names) - ever_green) | _CONVERTED_IN_R05 | _RETUNED_IN_R05
+    assert rank0 <= window, f"round-5 queries outside window: {sorted(rank0 - window)}"
     assert not (window & _DRIVER_GREEN_R04 - _RETUNED_IN_R05), (
         "fresh r4 greens must rotate to the back"
     )
-    # every query whose newest evidence is round 2 must be re-verified now
+    # queries whose newest evidence is round 2 fill the remaining slots; with
+    # 32 rank-0 entries only 18 of the 28 fit this round — overflow is allowed
+    # ONLY when the window is genuinely full of higher-priority entries, and
+    # never displaced by fresher r3/r4 evidence.
     r2_only = (
         (_DRIVER_GREEN_R02 | _DRIVER_GREEN_R01)
         - _DRIVER_GREEN_R03
         - _DRIVER_GREEN_R04
     )
-    assert r2_only <= window, f"stale r2 evidence outside window: {sorted(r2_only - window)}"
+    outside = r2_only - window
+    if outside:
+        assert len(rank0) + len(r2_only) > 50, (
+            f"stale r2 evidence outside a non-full window: {sorted(outside)}"
+        )
+        fresher = (_DRIVER_GREEN_R03 | _DRIVER_GREEN_R04) - _RETUNED_IN_R05 - _CONVERTED_IN_R05
+        assert not (window & fresher), (
+            "r3/r4-verified queries occupy slots while stale r2 evidence waits"
+        )
 
 
 def test_converted_queries_have_oracles():
