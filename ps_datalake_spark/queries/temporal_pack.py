@@ -74,7 +74,11 @@ def b57_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
         F.count("*").alias("c"),
-    )
+    # materialize the hourly rollup ONCE: both the bounds/spine branch and
+    # the fill join consume it — without this the fact scan + aggregation
+    # would execute twice (the rollup is hours x keys, far smaller than the
+    # event stream it replaces)
+    ).localCheckpoint(eager=True)
     bounds = hourly.groupBy("user_id").agg(
         F.min("hr").alias("lo"), F.max("hr").alias("hi")
     )
@@ -202,11 +206,17 @@ def b57_sweep_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") + F.floor(F.col("value") * 60).cast("bigint")
         ).alias("e"),
     )
+    # ONE scan: explode each interval into its two endpoint deltas (a union
+    # of two selects would read the events table twice)
     pts = iv.select(
-        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"))
-    )
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("pt"),
+    ).select("event_type", "pt.t", "pt.delta")
     w = (
         Window.partitionBy("event_type")
         .orderBy("t")

@@ -315,10 +315,17 @@ def b61_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("b"),
         )
         .distinct()
+        # materialize the deduped (nation-bounded) edge list ONCE: without
+        # this the full fact-table join pipeline re-executes in all four
+        # consumer branches (3 self-join aliases + the edge count), and the
+        # known post-checkpoint size lets Catalyst broadcast the self-joins
+        .localCheckpoint(eager=True)
     )
+    # the canonicalized nation-pair edge list is bounded by nations^2 —
+    # broadcast the probe sides so triangle enumeration never shuffles
     e1 = trade.alias("e1")
-    e2 = trade.alias("e2")
-    e3 = trade.alias("e3")
+    e2 = F.broadcast(trade.alias("e2"))
+    e3 = F.broadcast(trade.alias("e3"))
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
         .join(
