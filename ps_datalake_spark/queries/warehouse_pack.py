@@ -339,6 +339,79 @@ def b61_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b63_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+    tags=("B32", "streaming"),
+    doc="Stream-static enrichment join: the event stream inner-joins a "
+    "STATIC customer dimension (no watermark needed on the static side — "
+    "Structured Streaming re-plans the static relation per micro-batch, "
+    "so dimension updates between batches are picked up). An availableNow "
+    "pass emits exactly the matched rows, so the batch join oracle "
+    "matches. The third streaming-join shape beside stream-stream (b32) "
+    "and foreachBatch ingestion (b38).",
+)
+def b63_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .event_windows import _events_stream, _run_to_memory
+
+    static_dim = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", F.col("value").cast("decimal(18,2)").alias("v"))
+        .join(static_dim, F.col("user_id") == F.col("c_custkey"))
+    )
+    mem = _run_to_memory(joined, "append")
+    agg = mem.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+    return tiny_sort(agg, "segment")
+
+
+@query(
+    "b63_unpivot",
+    oracle="""
+    WITH long AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    )
+    SELECT measure, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(min(val) AS DOUBLE) AS lo,
+           CAST(max(val) AS DOUBLE) AS hi
+    FROM long GROUP BY measure ORDER BY measure
+    """,
+    tags=("B13", "warehouse"),
+    doc="Unpivot/melt — the inverse of b13_pivot: three lineitem measure "
+    "columns rotate into (measure, val) long form via DataFrame.unpivot "
+    "(a single generate pass over one scan — Spark plans Expand, not a "
+    "3x UNION re-scan), then aggregate per measure. Decimal-exact sums.",
+)
+def b63_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    long = li.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount"], "measure", "val"
+    )
+    agg = long.groupBy("measure").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.min("val").cast("double").alias("lo"),
+        F.max("val").cast("double").alias("hi"),
+    )
+    return tiny_sort(agg, "measure")
+
+
+@query(
     "b62_schema_evolution",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS cnt,

@@ -147,3 +147,37 @@ def test_q2_correlated_max_is_window_not_self_join(spark, sf_dir):
     relation (one scan), not a re-aggregated self-join that scans twice."""
     plan = _formatted_plan(SPECS["b55_tpch_q2"].build(spark, sf_dir))
     assert "Window" in plan
+
+
+def _scan_count(plan: str) -> int:
+    """Number of distinct parquet scans in a formatted plan.  The formatted
+    mode prints every scan twice (tree line + numbered detail block), so
+    count the per-scan `Location:` detail lines instead of the node name."""
+    return plan.count("Location: InMemoryFileIndex")
+
+
+def test_new_pack_plan_shapes(spark, sf_dir):
+    """Round-5 pack (PLANS.md 'Round-5 new-pack plan audits'): the tuned
+    shapes must not regress — single-scan sweep line, triangle enumeration
+    on the checkpointed edge list via broadcast joins, no cartesians."""
+    sweep = _formatted_plan(SPECS["b57_sweep_concurrency"].build(spark, sf_dir))
+    assert _scan_count(sweep) == 1, "sweep line must scan events once"
+    assert "Generate" in sweep and "explode(array" in sweep, (
+        "endpoints must explode from one pass"
+    )
+
+    tri = _formatted_plan(SPECS["b61_triangle_count"].build(spark, sf_dir))
+    assert "CartesianProduct" not in tri
+    assert _scan_count(tri) == 0, (
+        "edge list must be checkpointed — a parquet scan means the fact "
+        "pipeline re-executes per consumer branch"
+    )
+    assert tri.count("BroadcastHashJoin") >= 2, "bounded self-joins must broadcast"
+
+    gap = _formatted_plan(SPECS["b57_gap_fill"].build(spark, sf_dir))
+    assert _scan_count(gap) == 0, "hourly rollup must be checkpointed"
+    assert "CartesianProduct" not in gap
+
+    unp = _formatted_plan(SPECS["b63_unpivot"].build(spark, sf_dir))
+    assert "Expand" in unp, "unpivot must plan Expand, not a UNION re-scan"
+    assert _scan_count(unp) == 1
