@@ -181,3 +181,22 @@ def test_new_pack_plan_shapes(spark, sf_dir):
     unp = _formatted_plan(SPECS["b63_unpivot"].build(spark, sf_dir))
     assert "Expand" in unp, "unpivot must plan Expand, not a UNION re-scan"
     assert _scan_count(unp) == 1
+
+
+def test_retrieval_pack_plan_shapes(spark, sf_dir):
+    """b64 pack: BM25's four consumer branches must all hang off the ONE
+    checkpointed (doc, term, tf) postings relation (zero parquet re-scans
+    above it); the profiler is one scan + Expand (never a per-column pass);
+    negative sampling's grid is dimension-cross-dimension off the one
+    materialized positives set."""
+    bm25 = _formatted_plan(SPECS["b64_bm25_topk"].build(spark, sf_dir))
+    assert _scan_count(bm25) == 0, "corpus must tokenize/aggregate once"
+    assert "CartesianProduct" not in bm25
+
+    prof = _formatted_plan(SPECS["b64_profile_table"].build(spark, sf_dir))
+    assert _scan_count(prof) == 1, "profiler must be a single scan"
+    assert "Expand" in prof, "multi-column ndv plans one Expand, not N passes"
+
+    neg = _formatted_plan(SPECS["b64_negative_sampling"].build(spark, sf_dir))
+    assert _scan_count(neg) == 0, "positives must materialize once"
+    assert "CartesianProduct" not in neg
