@@ -200,3 +200,23 @@ def test_retrieval_pack_plan_shapes(spark, sf_dir):
     neg = _formatted_plan(SPECS["b64_negative_sampling"].build(spark, sf_dir))
     assert _scan_count(neg) == 0, "positives must materialize once"
     assert "CartesianProduct" not in neg
+
+
+def test_curation_pack_plan_shapes(spark, sf_dir):
+    """b65 pack: mixture reweighting materializes the per-source aggregate
+    once (zero re-scans above it); deciles window on the language KEY (a
+    global-order ntile would execute single-partition at scale); the
+    covariance matrix is one aggregate over one scan — moment partials,
+    never a vector shuffle."""
+    mix = _formatted_plan(SPECS["b65_domain_mixture"].build(spark, sf_dir))
+    assert _scan_count(mix) == 0, "per-source aggregate must materialize once"
+
+    dec = _formatted_plan(SPECS["b65_quality_deciles"].build(spark, sf_dir))
+    assert _scan_count(dec) == 1
+    assert "ntile(10) windowspecdefinition(lang" in dec, (
+        "decile window must partition on the language key"
+    )
+
+    cov = _formatted_plan(SPECS["b65_embedding_covariance"].build(spark, sf_dir))
+    assert _scan_count(cov) == 1, "covariance must be one pass of moment partials"
+    assert "BatchEvalPython" not in cov
