@@ -1113,6 +1113,50 @@ def b39_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b39_audio_features",
+    oracle="""
+    WITH par AS (
+      SELECT vec_id AS id,
+             800 + (vec_id % 5) * 80 AS n,
+             3 + vec_id % 7 AS f
+      FROM embeddings WHERE vec_id < 100
+    ),
+    sam AS (SELECT id, n, f, unnest(range(0, n)) AS i FROM par),
+    s AS (
+      SELECT id, n, ((i * f) % 2000) - 1000 AS v,
+             lead(((i * f) % 2000) - 1000)
+               OVER (PARTITION BY id ORDER BY i) AS nxt
+      FROM sam
+    )
+    SELECT id,
+           CAST(2 * max(n) AS BIGINT) AS n_bytes,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)) AS rms,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(CASE WHEN v * nxt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           CAST(sum(v) AS BIGINT) AS sample_sum
+    FROM s GROUP BY id ORDER BY id
+    """,
+    tags=("B39", "llm", "multimodal", "audio"),
+    doc="Audio-modality plumbing: deterministic int16-LE PCM sawtooths "
+    "(integer closed form — no codec, no libm in the signal) are PACKED "
+    "into real binary columns by one Arrow-batched mapInPandas and "
+    "DECODED by a second (np.frombuffer), which extracts RMS / peak / "
+    "strict zero-crossings / sample-sum checksum. The oracle reproduces "
+    "every feature analytically from the closed form — int64 sums are "
+    "exact in float64 and IEEE sqrt is correctly rounded, so even the "
+    "double RMS matches bit-for-bit. n_bytes proves the pack/unpack "
+    "round-trip (operators/multimodal.py synth_pcm/audio_features).",
+)
+def b39_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = T(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    pcm = M.synth_pcm(ids, "vec_id")
+    feats = M.audio_features(pcm)
+    return tiny_sort(feats, "id")
+
+
+@query(
     "b39_decode_png",
     oracle="""
     WITH m AS (

@@ -239,3 +239,30 @@ def test_tfidf_planted_vocab_collision_free(spark):
     english = set(StopWordsRemover.loadDefaultStopWords("english"))
     assert not set(_TFIDF_VOCAB) & english, "planted vocab term is a stopword"
     assert set(_TFIDF_STOPWORDS) <= english, "planted stopword not in remover's list"
+
+
+def test_audio_pcm_roundtrip_properties(spark):
+    """synth_pcm packs int16-LE bytes that audio_features recovers exactly:
+    byte length = 2 * n_samples, features equal a direct numpy evaluation of
+    the closed-form waveform, and NULL-free output for every input id."""
+    import numpy as np
+
+    from ps_datalake_spark.operators import multimodal as M
+
+    ids = spark.range(0, 17).withColumnRenamed("id", "vec_id")
+    feats = {
+        r["id"]: r
+        for r in M.audio_features(M.synth_pcm(ids, "vec_id")).collect()
+    }
+    assert len(feats) == 17
+    for i in range(17):
+        n = 800 + (i % 5) * 80
+        f = 3 + i % 7
+        s = ((np.arange(n, dtype=np.int64) * f) % 2000) - 1000
+        r = feats[i]
+        assert r["n_bytes"] == 2 * n
+        assert r["n_samples"] == n
+        assert r["rms"] == float(np.sqrt((s * s).sum() / n))
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["zero_crossings"] == int((s[:-1] * s[1:] < 0).sum())
+        assert r["sample_sum"] == int(s.sum())
