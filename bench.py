@@ -121,6 +121,10 @@ SCALE_QUERIES = [
     "b10_tpch_q1",
     "b05_tpch_q5",
     "b16_window_frames",
+    # session-3 retrieval pack: scale evidence for the posting-list BM25
+    # shape (the per-copy token salt stays under the 4-char query-term
+    # threshold, so the query-term set is stable across copies)
+    "b64_bm25_topk",
 ]
 # 100x probe set (TPC-H tables only are multiplied — see _build_scaled_dir).
 # Extended in r5 beyond q1/q5 to the headline shapes whose ≥10x behavior was
