@@ -450,3 +450,111 @@ def b62_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@query(
+    "b66_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e
+                                      UNION ALL SELECT dst FROM e)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT v, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+    c1 AS (SELECT e.dst AS v, sum(r0.r / deg.deg) AS c
+           FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.v,
+                  round(0.15 / n + 0.85 * coalesce(c1.c, 0), 9) AS r
+           FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.v = c1.v),
+    c2 AS (SELECT e.dst AS v, sum(r1.r / deg.deg) AS c
+           FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.v,
+                  round(0.15 / n + 0.85 * coalesce(c2.c, 0), 9) AS r
+           FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.v = c2.v),
+    c3 AS (SELECT e.dst AS v, sum(r2.r / deg.deg) AS c
+           FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.v,
+                  round(0.15 / n + 0.85 * coalesce(c3.c, 0), 9) AS r
+           FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.v = c3.v)
+    SELECT CAST(v AS BIGINT) AS node, round(r, 6) AS rank
+    FROM r3 ORDER BY node
+    """,
+    tags=("B5", "graph"),
+    doc="PageRank (d=0.85, 3 synchronous iterations) over the DIRECTED "
+    "nation trade graph (customer nation -> supplier nation, deduped) — "
+    "the join-based iterative shape: each iteration is contributions = "
+    "ranks |><| edges grouped by destination, a LEFT join back to the node "
+    "set for dangling destinations, exactly how PageRank distributes at "
+    "cluster scale (Pregel-style message passing as relational ops). The "
+    "bounded edge list is materialized once; every per-iteration join "
+    "broadcasts. Ranks round to 9dp AFTER EACH iteration on both engines, "
+    "so cross-engine float drift cannot compound across iterations; "
+    "dangling-source mass is dropped identically on both sides.",
+)
+def b66_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = dim(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        sf_dir,
+        "customer",
+    )
+    supp = dim(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+        sf_dir,
+        "supplier",
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+        # nation-bounded edge list: derive the fact joins ONCE; the known
+        # tiny size lets every iteration join broadcast
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = float(nodes.count())
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("double").alias("deg")
+    )
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(3):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.v)
+            .join(F.broadcast(deg), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = nodes.join(F.broadcast(contrib), "v", "left").select(
+            "v",
+            dround(
+                F.lit(0.15 / n)
+                + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0)),
+                9,
+            ).alias("r"),
+        )
+    out = ranks.select(
+        F.col("v").cast("bigint").alias("node"), dround("r", 6).alias("rank")
+    )
+    return tiny_sort(out, "node")
