@@ -88,6 +88,11 @@ EAGER_BUILDERS = {
     "b35_minhash_lsh",
     "b38_put_dedup",
     "b42_llm_pipeline",
+    # lazy localCheckpoint in the builder: a shared prepared DataFrame would
+    # reuse the materialized postings across timed runs (skipping the
+    # tokenize+aggregate DuckDB re-executes every run) — rebuilding per run
+    # keeps every timed execution the FULL pipeline
+    "b64_bm25_topk",
 }
 
 # Queries whose oracle is a VERIFICATION query, not an equivalent-work
