@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ._util import T, dround, tiny_sort
+from .sampling_rollup import _HASH_PCT_SQL, _hash_pct
 
 
 @query(
@@ -248,3 +249,136 @@ def b65_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("copies").cast("bigint").alias("copies"),
     )
     return tiny_sort(out, "content_hash")
+
+
+@query(
+    "b67_fixed_k_per_group",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_HASH_PCT_SQL.format(k="doc_id")}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_taken,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_taken
+    FROM ranked WHERE rn <= 40
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("B43", "curation"),
+    doc="Exact-k-per-stratum sampling: take EXACTLY 40 documents per "
+    "language (fewer only if the stratum is smaller), chosen by ranking on "
+    "the engine-portable sha256 bucket with doc_id tiebreak — the "
+    "fixed-size companion to b43's fractional stratified sampling (a "
+    "training mix often specifies absolute per-language doc budgets, not "
+    "rates). One keyed window shuffle; the hash order makes the selection "
+    "reproducible on any engine at any scale, unlike ORDER BY random().",
+)
+def b67_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy(
+        _hash_pct(F.col("doc_id")), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    agg = ranked.where(F.col("rn") <= 40).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_taken"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.sum("n_chars").cast("bigint").alias("chars_taken"),
+    )
+    return tiny_sort(agg, "lang")
+
+
+@query(
+    "b67_mad_outliers",
+    oracle="""
+    WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
+    med AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM d
+    ),
+    m AS (
+      SELECT lang,
+             CAST(max(CASE WHEN rn = (50*n + 99) // 100
+                           THEN n_chars END) AS BIGINT) AS median
+      FROM med GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.lang, d.doc_id, abs(d.n_chars - m.median) AS ad,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY abs(d.n_chars - m.median), d.doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY d.lang) AS n
+      FROM d JOIN m USING (lang)
+    ),
+    mad AS (
+      SELECT lang,
+             CAST(max(CASE WHEN rn = (50*n + 99) // 100
+                           THEN ad END) AS BIGINT) AS mad
+      FROM dev GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(max(m.median) AS BIGINT) AS median,
+           CAST(max(mad.mad) AS BIGINT) AS mad,
+           CAST(sum(CASE WHEN abs(d.n_chars - m.median) > 2 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM d JOIN m USING (lang) JOIN mad USING (lang)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    tags=("B37", "curation"),
+    doc="Robust per-language outlier detection: nearest-rank median and MAD "
+    "(median absolute deviation) of document length in INTEGER arithmetic "
+    "(ceil-index selection, |x-med| exact) — no float quantile "
+    "interpolation to straddle. Documents beyond 2 MAD are counted as "
+    "outliers (2x chosen so the synthetic fixture's tight length distribution yields a non-trivial outlier set), the robust filter a curator uses where mean/stddev would be "
+    "dragged by the very outliers being removed. Two keyed window passes "
+    "plus broadcast-joined per-group scalars.",
+)
+def b67_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    med_rn = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    m = med_rn.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(50*n + 99) div 100"), F.col("n_chars"))
+        )
+        .cast("bigint")
+        .alias("median")
+    )
+    dev = d.join(F.broadcast(m), "lang").withColumn(
+        "ad", F.abs(F.col("n_chars") - F.col("median"))
+    )
+    wd = Window.partitionBy("lang").orderBy("ad", "doc_id")
+    dev_rn = dev.withColumn("rn", F.row_number().over(wd)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    mad = dev_rn.groupBy("lang").agg(
+        F.max(F.when(F.col("rn") == F.expr("(50*n + 99) div 100"), F.col("ad")))
+        .cast("bigint")
+        .alias("mad")
+    )
+    joined = d.join(F.broadcast(m), "lang").join(F.broadcast(mad), "lang")
+    agg = joined.groupBy("lang").agg(
+        F.max("median").cast("bigint").alias("median"),
+        F.max("mad").cast("bigint").alias("mad"),
+        F.sum(
+            F.when(
+                F.abs(F.col("n_chars") - F.col("median")) > 2 * F.col("mad"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    return tiny_sort(agg, "lang")
