@@ -309,6 +309,36 @@ def b32_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b68_dedup_within_watermark",
+    oracle=_DEDUP_ORACLE,
+    tags=("B32", "streaming"),
+    doc="Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark "
+    "drops a duplicate only while its first sighting is within the "
+    "watermark delay, letting the engine EVICT dedup state as the "
+    "watermark advances — the API that makes streaming dedup viable over "
+    "unbounded streams (plain dropDuplicates keeps every key forever). "
+    "The doubled availableNow source replays every duplicate inside one "
+    "micro-batch — well within the 1h delay — so the emitted set equals "
+    "batch DISTINCT and the b32 oracle applies unchanged; the "
+    "state-eviction semantics beyond the fixture are the engine's "
+    "contract, selected by this API.",
+)
+def b68_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    s2 = _events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    doubled = s1.unionByName(s2)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    mem = _run_to_memory(deduped, "append")
+    return mem.agg(
+        F.count("*").alias("cnt"),
+        F.sum("user_id").alias("sum_user"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+@query(
     "b32_late_data",
     oracle="""
     SELECT TIMESTAMP '2024-01-01 11:00:00' AS ws,

@@ -1,0 +1,196 @@
+"""Tokenizer-application operators (round 5, session 3): BPE merge
+application and character-distribution entropy — the tokenize-side pieces
+between pre-tokenization counting (b37_token_count_bpe) and sequence
+packing (b56).
+
+Scale design notes (100 TB):
+  * BPE application is embarrassingly parallel per word: the merge table is
+    a small broadcast-side constant (real vocabularies are ~50k merges) and
+    the Arrow-batched pandas UDF applies it with zero shuffle — the exact
+    shape a production tokenizer job runs, one pass over the corpus;
+  * entropy is two keyed aggregations (per-(doc,char) then per-doc) — one
+    shuffle on doc_id; per-char terms round to fixed-precision decimals
+    BEFORE the sum so the aggregate is exact and shuffle-order-independent
+    (the b56 discipline).
+
+Determinism: the BPE oracle is a HAND-DERIVED literal token table for a
+planted word list (not computed by the same code under test — the merges
+are small enough to verify on paper); pytest properties cover arbitrary
+words (reconstruction, greedy-rank order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ._util import T, tiny_sort
+
+# ranked merge table (rank = priority, lowest first) — tiny by design so
+# every planted tokenization below is verifiable by hand
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+)
+
+_PLANTED_WORDS = ("the", "then", "and", "hand", "thin", "in", "band", "theta")
+
+
+def bpe_encode(word: str, merges=BPE_MERGES) -> list[str]:
+    """Classic greedy BPE: split to characters, then repeatedly merge every
+    (left-to-right, non-overlapping) occurrence of the LOWEST-ranked
+    adjacent pair present, until no merge applies. Pure function — shipped
+    to executors inside the Arrow-batched UDF below."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+    toks = list(word)
+    while len(toks) > 1:
+        pairs = {(toks[i], toks[i + 1]) for i in range(len(toks) - 1)}
+        ranked = [rank[p] for p in pairs if p in rank]
+        if not ranked:
+            break
+        a, b = merges[min(ranked)]
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+@query(
+    "b68_bpe_apply",
+    # hand-derived expected tokenizations (verify on paper against
+    # BPE_MERGES: e.g. "theta" = t,h,e,t,a → th,e,t,a (rank 1) →
+    # the,t,a (rank 2) → no adjacent pair remains in the table)
+    oracle="""
+    SELECT word, CAST(seq AS BIGINT) AS seq, token FROM (VALUES
+      ('the',   1, 'the'),
+      ('then',  1, 'the'), ('then',  2, 'n'),
+      ('and',   1, 'and'),
+      ('hand',  1, 'h'),   ('hand',  2, 'and'),
+      ('thin',  1, 'th'),  ('thin',  2, 'in'),
+      ('in',    1, 'in'),
+      ('band',  1, 'b'),   ('band',  2, 'and'),
+      ('theta', 1, 'the'), ('theta', 2, 't'), ('theta', 3, 'a')
+    ) AS t(word, seq, token)
+    ORDER BY word, seq
+    """,
+    tags=("B37", "llm", "tokenize"),
+    doc="BPE merge application: an Arrow-batched pandas UDF applies the "
+    "ranked merge table to each word (greedy lowest-rank-first, "
+    "left-to-right non-overlapping — the GPT-2 algorithm) and emits "
+    "(word, position, token). The oracle is a HAND-DERIVED literal token "
+    "table for eight planted words — independent of the code under test; "
+    "pytest properties cover arbitrary words (concatenation reconstructs "
+    "the word; token count only shrinks). At corpus scale the merge table "
+    "broadcasts and the UDF runs shuffle-free over one scan — the "
+    "production tokenizer-job shape.",
+)
+def b68_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = spark.createDataFrame(
+        [(w,) for w in _PLANTED_WORDS], "word string"
+    )
+
+    # capture the encoder BY VALUE: a bare module-level reference pickles
+    # by name, and the executor's fresh Python worker cannot import
+    # ps_datalake_spark when the driver runs from outside the repo (the
+    # driver contract adds the repo to the DRIVER's sys.path only).
+    # register_pickle_by_value scoped to the dumps call forces the function
+    # body (not its import path) into the serialized task.
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _self = _sys.modules[__name__]
+    _cp.register_pickle_by_value(_self)
+    try:
+        _enc_blob = _cp.dumps(bpe_encode)
+    finally:
+        _cp.unregister_pickle_by_value(_self)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pickle as _pickle
+
+        enc = _pickle.loads(_enc_blob)
+        for pdf in batches:
+            out = {"word": [], "toks": []}
+            for w in pdf["word"]:
+                out["word"].append(w)
+                out["toks"].append(enc(str(w)))
+            yield pd.DataFrame(out)
+
+    encoded = words.mapInPandas(_encode, "word string, toks array<string>")
+    exploded = encoded.select(
+        "word", F.posexplode("toks").alias("pos0", "token")
+    ).select("word", (F.col("pos0") + 1).cast("bigint").alias("seq"), "token")
+    return tiny_sort(exploded, "word", "seq")
+
+
+@query(
+    "b68_char_entropy",
+    oracle=r"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+      FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+    ),
+    freq AS (
+      SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+      FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id)
+    SELECT f.doc_id,
+           CAST(max(n) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS alphabet,
+           CAST(sum(CAST(round(-(c/n) * log2(c/n) * 1000000000)
+                         / 1000000000 AS DECIMAL(12,9))) AS DOUBLE)
+             AS entropy_bits
+    FROM freq f JOIN tot USING (doc_id)
+    GROUP BY f.doc_id ORDER BY f.doc_id
+    """,
+    tags=("B37", "llm", "tokenize"),
+    doc="Character-distribution Shannon entropy per document (bits/char "
+    "over the doc's own alphabet) — the quality signal that flags "
+    "repetitive or low-diversity text a length filter misses. Per-char "
+    "terms round to 9dp decimals BEFORE summation (the b56 discipline), "
+    "so the aggregate is exact, shuffle-order-independent, and immune to "
+    "cross-engine log2 ulp differences. Two keyed aggregations, one "
+    "doc_id shuffle.",
+)
+def b68_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 100) & F.col("text").isNotNull()
+    )
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    tot = freq.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    term = (
+        F.round(-p * F.log2(p) * F.lit(1000000000)) / F.lit(1000000000)
+    ).cast("decimal(12,9)")
+    agg = (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars"),
+            F.count("*").cast("bigint").alias("alphabet"),
+            F.sum(term).cast("double").alias("entropy_bits"),
+        )
+    )
+    return tiny_sort(agg, "doc_id")
