@@ -284,3 +284,95 @@ def b57_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n"),
     )
     return tiny_sort(agg, "c_mktsegment")
+
+
+@query(
+    "b57_ewma",
+    oracle=r"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+      FROM events WHERE user_id < 8
+    ),
+    framed AS (
+      SELECT user_id, event_id, s,
+             list(struct_pack(t := s, v := value))
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS hist
+      FROM ev
+    ),
+    terms AS (
+      SELECT user_id, event_id, s,
+             CAST(len(hist) AS BIGINT) AS n_frame,
+             list_sum(list_transform(hist, e ->
+               CAST(round(e.v * pow(0.5, (s - e.t) / 1800.0) * 1000000000)
+                    / 1000000000 AS DECIMAL(28,9)))) AS num,
+             list_sum(list_transform(hist, e ->
+               CAST(round(pow(0.5, (s - e.t) / 1800.0) * 1000000000)
+                    / 1000000000 AS DECIMAL(28,9)))) AS den
+      FROM framed
+    )
+    SELECT user_id, event_id, s, n_frame,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+    FROM terms
+    """,
+    tags=("B15", "timeseries"),
+    doc="Time-decayed exponentially-weighted moving average per user "
+    "(half-life 30 min over the last 10 events) — the streaming-feature "
+    "shape (recency-weighted engagement) a training pipeline derives "
+    "from event history. One keyed window pass: the bounded ROWS frame "
+    "is collected per row (<=10 structs) and folded JVM-side with "
+    "frame-local weights pow(0.5, dt/halflife) — the weights depend on "
+    "the CURRENT row's time, so no prefix-sum trick applies without "
+    "overflowing pow(2, epoch/h); the bounded-frame fold is exact and "
+    "scales as one shuffle on user_id. Per-term 9dp decimal rounding "
+    "before the fixed-order sum (the b56 discipline) absorbs cross-"
+    "engine pow() ulp drift. No final ORDER BY: rows are compared as "
+    "sorted multisets (r5 retune discipline).",
+)
+def b57_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") < 8).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "s",
+        F.collect_list(F.struct(F.col("s").alias("t"), F.col("value").alias("v")))
+        .over(w)
+        .alias("hist"),
+    )
+    cur = F.col("s")
+    zero = F.lit(0).cast("decimal(28,9)")
+
+    def fold(term):
+        return F.aggregate(
+            "hist",
+            zero,
+            lambda acc, e: (acc + dround(term(e), 9).cast("decimal(28,9)")).cast(
+                "decimal(38,9)"
+            ).cast("decimal(28,9)"),
+        )
+
+    out = framed.select(
+        "user_id",
+        "event_id",
+        "s",
+        F.size("hist").cast("bigint").alias("n_frame"),
+        dround(
+            fold(lambda e: e["v"] * F.pow(0.5, (cur - e["t"]) / 1800.0)).cast(
+                "double"
+            )
+            / fold(lambda e: F.pow(0.5, (cur - e["t"]) / 1800.0)).cast("double"),
+            6,
+        ).alias("ewma"),
+    )
+    return out

@@ -139,6 +139,104 @@ def b68_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiny_sort(exploded, "word", "seq")
 
 
+# BPE training corpus: the classic (word, frequency) example from the BPE
+# literature — small enough that every merge round is verifiable by hand,
+# with REAL count ties in rounds 1 and 3 exercising the deterministic
+# lexicographic tie-break.
+_TRAIN_CORPUS: tuple[tuple[str, int], ...] = (
+    ("low", 5),
+    ("lower", 2),
+    ("newest", 6),
+    ("widest", 3),
+)
+
+
+@query(
+    "b68_bpe_train",
+    # hand-derived merge sequence (verify on paper):
+    #   round 1: (e,s)=9 ties (s,t)=9 -> lexicographic pick (e,s)
+    #   round 2: (es,t)=9
+    #   round 3: (l,o)=7 ties (o,w)=7 -> pick (l,o)
+    #   round 4: (lo,w)=7
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'e',  's', CAST(9 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'es', 't', CAST(9 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'l',  'o', CAST(7 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'lo', 'w', CAST(7 AS BIGINT))
+    ) AS t(rank, lhs, rhs, pair_count)
+    ORDER BY rank
+    """,
+    tags=("B37", "llm", "tokenize"),
+    doc="Distributed BPE merge INDUCTION (the training side of "
+    "b68_bpe_apply): each round counts adjacent symbol pairs across the "
+    "corpus weighted by word frequency (one groupBy shuffle with map-side "
+    "partials), picks the max-count pair with a deterministic "
+    "(count DESC, pair ASC) tie-break — a 1-row driver collect per round, "
+    "the bounded-driver-state pattern of IVF — and applies the merge to "
+    "every symbol sequence JVM-side via an aggregate() fold (greedy "
+    "left-to-right, non-overlapping). The oracle is the hand-derived "
+    "merge table for the classic 4-word corpus, which contains two "
+    "genuine count ties. At 100 TB each round is one pass; real "
+    "vocabularies run the same loop with the word-frequency table "
+    "pre-aggregated once (Σ unique words, not corpus tokens).",
+)
+def b68_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = spark.createDataFrame(
+        [(w, f) for w, f in _TRAIN_CORPUS], "word string, freq bigint"
+    ).select(
+        "freq",
+        F.filter(F.split("word", ""), lambda c: c != "").alias("toks"),
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, 5):
+        sz = F.size("toks")
+        pairs = state.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, sz - 1),
+                    F.slice("toks", 2, sz - 1),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("p"),
+        ).select("freq", "p.lhs", "p.rhs")
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, cnt = best["lhs"], best["rhs"], int(best["cnt"])
+        merges.append((rnd, a, b, cnt))
+        # greedy left-to-right single-pair application as a JVM-side fold:
+        # merge when the accumulator's tail is `a` and the next symbol is
+        # `b`; the replaced tail cannot re-merge (non-overlapping).
+        state = state.select(
+            "freq",
+            F.aggregate(
+                "toks",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(a + b)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("toks"),
+        )
+
+    out = spark.createDataFrame(
+        merges, "rank bigint, lhs string, rhs string, pair_count bigint"
+    )
+    return tiny_sort(out, "rank")
+
+
 @query(
     "b68_char_entropy",
     oracle=r"""

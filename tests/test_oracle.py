@@ -70,9 +70,21 @@ def test_driver_window_covers_unchecked_queries():
         _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02 | _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04
     )
     # rank 0: brand-new round-5 queries + conversions + retunes — these have
-    # NO driver evidence (or stale-oracle evidence) and must land in the window
+    # NO driver evidence (or stale-oracle evidence) and fill the window
+    # first.  Once the session has registered MORE than 50 rank-0 queries,
+    # overflow is unavoidable (the late registrations queue for round 6) —
+    # but then every window slot must hold a rank-0 entry: nothing with
+    # existing driver evidence may displace an unverified query.
     rank0 = (set(names) - ever_green) | _CONVERTED_IN_R05 | _RETUNED_IN_R05
-    assert rank0 <= window, f"round-5 queries outside window: {sorted(rank0 - window)}"
+    if len(rank0) <= 50:
+        assert rank0 <= window, (
+            f"round-5 queries outside window: {sorted(rank0 - window)}"
+        )
+    else:
+        assert window <= rank0, (
+            f"evidence-bearing queries inside an overflowing window: "
+            f"{sorted(window - rank0)}"
+        )
     assert not (window & _DRIVER_GREEN_R04 - _RETUNED_IN_R05), (
         "fresh r4 greens must rotate to the back"
     )
