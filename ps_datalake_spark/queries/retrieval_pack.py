@@ -315,3 +315,103 @@ def b64_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "word"
     )
     return tiny_sort(exploded.where(F.col("pos") <= 6), "doc_id", "pos")
+
+
+@query(
+    "b64_phrase_search",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    post AS (
+      SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM docs
+    ),
+    postings AS (SELECT doc_id, pos, ws[pos] AS word FROM post),
+    phrases AS (
+      SELECT * FROM (VALUES
+        ('hash join'), ('table scan'), ('fast merge'), ('window sort')
+      ) AS t(phrase)
+    ),
+    q AS (
+      SELECT phrase,
+             string_split(phrase, ' ')[1] AS w1,
+             string_split(phrase, ' ')[2] AS w2
+      FROM phrases
+    ),
+    hits AS (
+      SELECT q.phrase, p1.doc_id
+      FROM q
+      JOIN postings p1 ON p1.word = q.w1
+      JOIN postings p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+                      AND p2.word = q.w2
+    ),
+    per_doc AS (
+      SELECT phrase, doc_id, count(*) AS c FROM hits GROUP BY phrase, doc_id
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c) AS BIGINT) AS n_occ,
+           CAST(min(doc_id) FILTER (WHERE rnk = 1) AS BIGINT) AS top_doc
+    FROM (
+      SELECT phrase, doc_id, c,
+             rank() OVER (PARTITION BY phrase ORDER BY c DESC, doc_id) AS rnk
+      FROM per_doc
+    )
+    GROUP BY phrase ORDER BY phrase
+    """,
+    tags=("B37", "retrieval"),
+    doc="Exact-phrase retrieval over a POSITIONAL inverted index (the "
+    "capability BM25's bag-of-words postings cannot express): postings "
+    "carry (doc_id, pos, word); a two-term phrase matches via a keyed "
+    "self-join on (doc_id, pos+1) — distributed on the doc/position key, "
+    "never a cartesian, and the first-term postings fetch prunes the join "
+    "to matching docs exactly as a posting-list intersection would at "
+    "100 TB. Emits per-phrase document frequency, total occurrences, and "
+    "the best-matching doc (count DESC, doc_id ASC).",
+)
+def b64_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    postings = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "pos0", "word"
+            ),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    )
+    phrases = spark.createDataFrame(
+        [("hash join",), ("table scan",), ("fast merge",), ("window sort",)],
+        "phrase string",
+    ).select(
+        "phrase",
+        F.split("phrase", " ").getItem(0).alias("w1"),
+        F.split("phrase", " ").getItem(1).alias("w2"),
+    )
+    p1 = postings.alias("p1")
+    p2 = postings.alias("p2")
+    hits = (
+        p1.join(F.broadcast(phrases), F.col("p1.word") == F.col("w1"))
+        .join(
+            p2,
+            (F.col("p2.doc_id") == F.col("p1.doc_id"))
+            & (F.col("p2.pos") == F.col("p1.pos") + 1)
+            & (F.col("p2.word") == F.col("w2")),
+        )
+        .select("phrase", F.col("p1.doc_id").alias("doc_id"))
+    )
+    per_doc = hits.groupBy("phrase", "doc_id").agg(F.count("*").alias("c"))
+    wr = Window.partitionBy("phrase").orderBy(F.col("c").desc(), "doc_id")
+    out = (
+        per_doc.withColumn("rnk", F.rank().over(wr))
+        .groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("c").cast("bigint").alias("n_occ"),
+            F.min(F.when(F.col("rnk") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("top_doc"),
+        )
+    )
+    return tiny_sort(out, "phrase")

@@ -558,3 +558,123 @@ def b66_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("bigint").alias("node"), dround("r", 6).alias("rank")
     )
     return tiny_sort(out, "node")
+
+
+@query(
+    "b61_bfs_hops",
+    oracle="""
+    WITH RECURSIVE rev AS (
+      SELECT c.c_nationkey AS a, s.s_nationkey AS b,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,2))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT a, b, row_number() OVER (ORDER BY rev, a, b) AS rn,
+             count(*) OVER () AS n
+      FROM rev
+    ),
+    trade AS (SELECT a, b FROM ranked WHERE rn > (7 * n + 9) // 10),
+    src AS (
+      SELECT a AS s FROM trade GROUP BY a ORDER BY count(*) DESC, a LIMIT 1
+    ),
+    bfs(node, dist) AS (
+      SELECT s, 0 FROM src
+      UNION
+      SELECT t.b, bfs.dist + 1
+      FROM bfs JOIN trade t ON t.a = bfs.node WHERE bfs.dist < 30
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT) AS dist
+    FROM bfs GROUP BY node ORDER BY dist, node
+    """,
+    tags=("B5", "graph"),
+    doc="Multi-hop BFS shortest-hop counts over the thresholded nation "
+    "trade graph: edges are the top-30%-by-revenue trade pairs (nearest-"
+    "rank percentile over an exact DECIMAL revenue sum with a (rev,a,b) "
+    "total order — scale-free, no absolute threshold to drift across "
+    "SFs), the source is the max-out-degree node (count DESC, key ASC "
+    "tie-break, a 1-row bounded collect), and each BFS round is one "
+    "broadcast join + anti-join against the visited set with a "
+    "localCheckpoint cutting the iterative lineage — the Pregel-style "
+    "frontier expansion of distributed BFS, terminating when the "
+    "frontier empties. Oracle: DuckDB recursive CTE with min-dist "
+    "aggregation over a depth-capped expansion.",
+)
+def b61_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = dim(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        sf_dir,
+        "customer",
+    )
+    supp = dim(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+        sf_dir,
+        "supplier",
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,2)"
+                )
+            ).alias("rev")
+        )
+    )
+    wr = Window.orderBy("rev", "a", "b")
+    ranked = rev.select(
+        "a",
+        "b",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    trade = (
+        ranked.where(F.col("rn") > F.expr("(7 * n + 9) div 10"))
+        .select("a", "b")
+        # nation-bounded edge list: derive the fact joins once; every BFS
+        # round joins against this broadcastable checkpoint
+        .localCheckpoint(eager=True)
+    )
+    src_row = (
+        trade.groupBy("a")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.col("deg").desc(), "a")
+        .limit(1)
+        .collect()[0]
+    )
+    src = int(src_row["a"])
+    dist = spark.createDataFrame([(src, 0)], "node int, dist int")
+    frontier = dist
+    for it in range(1, 31):
+        nxt = (
+            frontier.join(F.broadcast(trade), frontier.node == trade.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(it).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = dist.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+    return tiny_sort(out, "dist", "node")
