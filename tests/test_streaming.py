@@ -175,3 +175,46 @@ def test_stateful_results_identical_under_rocksdb_provider(spark, sf_dir):
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
     assert default == rocks and len(default) > 0
+
+
+def test_transform_with_state_running_stats(spark, sf_dir):
+    """Spark 4 transformWithState: the named-ValueState per-user running
+    (count, sum) must equal the batch aggregation. Gated on protobuf —
+    the TWS state protocol needs google.protobuf in the Python workers,
+    which this container does not ship (streaming/stateful.py documents
+    the gate)."""
+    pytest.importorskip("google.protobuf")
+    from ps_datalake_spark.queries.event_windows import _events_stream, _run_to_memory
+    from ps_datalake_spark.streaming.stateful import running_user_stats_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = running_user_stats_tws(_events_stream(spark, sf_dir))
+        mem = _run_to_memory(out, "update")
+        final = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+            for r in mem.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+            .select("user_id", "s.n_events", "s.total_value")
+            .collect()
+        }
+    finally:
+        if old:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    from ps_datalake_spark.io import load_table
+
+    batch = {
+        r["user_id"]: (r["n"], round(r["t"], 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert final == batch and len(final) > 0
