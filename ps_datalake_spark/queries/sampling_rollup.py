@@ -117,3 +117,57 @@ def b44_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return h1.orderBy("b60", "event_type")
+
+
+@query(
+    "b67_weighted_sample_topk",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST(((doc_id % 1000003) * 2654435761) % 100000 AS DOUBLE)
+              + 0.5) / 100000.0 AS u
+      FROM documents WHERE text IS NOT NULL AND n_chars > 0
+    ),
+    keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(round(ln(u) / n_chars * 1000000000000)
+                  / 1000000000000 AS DECIMAL(16,12)) AS k
+      FROM docs
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, k
+    FROM keyed
+    ORDER BY k DESC, doc_id LIMIT 50
+    """,
+    tags=("B43", "llm", "sampling"),
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES): "
+    "each doc draws a deterministic uniform u from the overflow-safe "
+    "Knuth-hash of its id, scores key = ln(u)/weight (the log-domain "
+    "A-ES key, weight = n_chars), and the global top-k by key IS an "
+    "exact weighted sample without replacement — one scan plus a "
+    "TakeOrdered top-k, no global sort, no driver state, reproducible "
+    "on any engine. Keys round to 12dp decimals so a cross-engine ln() "
+    "ulp cannot reorder the boundary; ties (impossible at 12dp except "
+    "for identical inputs) break on doc_id. The exact-k complement of "
+    "b56's rate-based temperature sampling.",
+)
+def b67_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    )
+    u = (
+        (((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 100000).cast(
+            "double"
+        )
+        + 0.5
+    ) / 100000.0
+    k = (
+        F.round(F.log(u) / F.col("n_chars") * F.lit(1000000000000.0))
+        / F.lit(1000000000000.0)
+    ).cast("decimal(16,12)")
+    out = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        k.alias("k"),
+    )
+    return out.orderBy(F.col("k").desc(), "doc_id").limit(50)

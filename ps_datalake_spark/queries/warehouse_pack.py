@@ -678,3 +678,78 @@ def b61_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").cast("bigint").alias("dist"),
     )
     return tiny_sort(out, "dist", "node")
+
+
+@query(
+    "b58_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+      FROM customer WHERE c_custkey % 13 <> 5
+    ),
+    snap_b AS (
+      SELECT c_custkey, c_name,
+             round(c_acctbal + CASE WHEN c_custkey % 17 = 2
+                                    THEN 100.0 ELSE 0.0 END, 2) AS bal
+      FROM customer WHERE c_custkey % 11 <> 3
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(key) AS BIGINT) AS key_checksum
+    FROM (
+      SELECT coalesce(a.c_custkey, b.c_custkey) AS key,
+             CASE WHEN a.c_custkey IS NULL THEN 'added'
+                  WHEN b.c_custkey IS NULL THEN 'removed'
+                  WHEN a.bal <> b.bal OR a.c_name <> b.c_name THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM snap_a a FULL OUTER JOIN snap_b b USING (c_custkey)
+    )
+    GROUP BY status ORDER BY status
+    """,
+    tags=("B20", "warehouse"),
+    doc="Snapshot diff (table-compare): two point-in-time snapshots of the "
+    "customer dimension — derived deterministically from the fixture with "
+    "planted deletions (mod-13), insertions (mod-11 missing from A) and "
+    "in-place updates (mod-17 balance bump) — are reconciled with ONE "
+    "full-outer join on the key, classifying every row added / removed / "
+    "changed / unchanged with a per-class count and key checksum. The "
+    "data-ops audit primitive behind CDC validation and migration "
+    "verification: one keyed shuffle at any scale, value comparison "
+    "column-wise (a row-hash compare is the same plan with one projected "
+    "column).",
+)
+def b58_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal0")
+    )
+    snap_a = cust.where(F.col("c_custkey") % 13 != 5).select(
+        "c_custkey", "c_name", F.col("bal0").alias("bal_a")
+    )
+    snap_b = cust.where(F.col("c_custkey") % 11 != 3).select(
+        "c_custkey",
+        F.col("c_name").alias("name_b"),
+        F.round(
+            F.col("bal0")
+            + F.when(F.col("c_custkey") % 17 == 2, 100.0).otherwise(0.0),
+            2,
+        ).alias("bal_b"),
+    )
+    joined = snap_a.join(snap_b, "c_custkey", "full_outer")
+    status = (
+        F.when(F.col("bal_a").isNull() & F.col("c_name").isNull(), "added")
+        .when(F.col("bal_b").isNull() & F.col("name_b").isNull(), "removed")
+        .when(
+            (F.col("bal_a") != F.col("bal_b"))
+            | (F.col("c_name") != F.col("name_b")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    out = (
+        joined.select("c_custkey", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c_custkey").cast("bigint").alias("key_checksum"),
+        )
+    )
+    return tiny_sort(out, "status")
