@@ -130,6 +130,11 @@ SCALE_QUERIES = [
     # shape (the per-copy token salt stays under the 4-char query-term
     # threshold, so the query-term set is stable across copies)
     "b64_bm25_topk",
+    # session-4 curation/analytics: scale evidence for the cross-document
+    # line-dedup shape (copy-aware doc filter — 10x documents) and the
+    # rolling-MAU explode rewrite (10x disjoint user populations)
+    "b69_line_dedup",
+    "b45_rolling_mau",
 ]
 # 100x probe set (TPC-H tables only are multiplied — see _build_scaled_dir).
 # Extended in r5 beyond q1/q5 to the headline shapes whose ≥10x behavior was

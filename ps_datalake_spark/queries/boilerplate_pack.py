@@ -52,7 +52,7 @@ _MIN_DF = 50
       SELECT doc_id,
              CASE WHEN doc_id % 2 = 0 THEN '{_BOILER} ' || text
                   ELSE text END AS t
-      FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+      FROM documents WHERE doc_id % 10000000 < 200 AND text IS NOT NULL
     ),
     words AS (
       SELECT doc_id, string_split_regex(trim(t), '\s+') AS w FROM base
@@ -99,7 +99,7 @@ _MIN_DF = 50
 def b69_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         T(spark, sf_dir, "documents")
-        .where((F.col("doc_id") < 200) & F.col("text").isNotNull())
+        .where((F.col("doc_id") % 10000000 < 200) & F.col("text").isNotNull())
         .select(
             "doc_id",
             F.when(
