@@ -220,3 +220,27 @@ def test_curation_pack_plan_shapes(spark, sf_dir):
     cov = _formatted_plan(SPECS["b65_embedding_covariance"].build(spark, sf_dir))
     assert _scan_count(cov) == 1, "covariance must be one pass of moment partials"
     assert "BatchEvalPython" not in cov
+
+
+def test_session4_pack_plan_shapes(spark, sf_dir):
+    """Plan shapes for the session-4 operators: phrase search and line
+    dedup must never plan a cartesian/nested-loop; the weighted sample's
+    global top-k must be a TakeOrdered, not a full sort; BFS rounds join
+    broadcast; incremental-agg merge contains no join at all (pure
+    union + re-aggregate)."""
+    for name in ("b64_phrase_search", "b69_line_dedup"):
+        plan = _formatted_plan(SPECS[name].build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    sample_plan = _formatted_plan(
+        SPECS["b67_weighted_sample_topk"].build(spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in sample_plan
+    inc_plan = _formatted_plan(SPECS["b44_incremental_agg"].build(spark, sf_dir))
+    assert "Join" not in inc_plan, "partial-agg merge must be union+agg, not a join"
+    assert "Union" in inc_plan
+    mau_plan = _formatted_plan(SPECS["b45_rolling_mau"].build(spark, sf_dir))
+    assert "CartesianProduct" not in mau_plan
+    assert "Generate" in mau_plan, "rolling MAU must use the explode rewrite"
+    bfs_plan = _formatted_plan(SPECS["b61_bfs_hops"].build(spark, sf_dir))
+    assert "CartesianProduct" not in bfs_plan
