@@ -274,3 +274,81 @@ def b56_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "b56_epoch_shuffle",
+    oracle="""
+    WITH epochs AS (SELECT unnest(range(1, 4)) AS epoch),
+    ranked AS (
+      SELECT e.epoch, d.doc_id,
+             row_number() OVER (
+               PARTITION BY e.epoch
+               ORDER BY CAST(('0x' || substr(sha256(
+                           CAST(e.epoch AS VARCHAR) || ':' ||
+                           CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                        d.doc_id
+             ) AS pos
+      FROM documents d CROSS JOIN epochs e
+      WHERE d.text IS NOT NULL
+    )
+    SELECT epoch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pos * doc_id) AS BIGINT) AS perm_checksum,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY pos) FILTER (WHERE pos <= 5) AS head5
+    FROM ranked
+    GROUP BY epoch ORDER BY epoch
+    """,
+    tags=("B43", "llm", "sampling"),
+    doc="Deterministic per-epoch training shuffle: each epoch's data order "
+    "is the rank of sha256(epoch:doc_id) — a seeded permutation that is "
+    "reproducible on any engine, any partitioning, any restart, with "
+    "epochs differing from each other (the property a resumable trainer "
+    "needs: epoch 7's order can be recomputed without storing it). "
+    "The full-permutation checksum sum(pos*doc_id) pins the ENTIRE "
+    "order, not just the sampled head. At 100 TB the rank is a sort key "
+    "for a write — one range sort per epoch, or zero when the trainer "
+    "reads shards in hash order directly.",
+)
+def b56_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    epochs = spark.range(1, 4).select(F.col("id").cast("int").alias("epoch"))
+    rank = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                ).cast("binary"),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("epoch").orderBy(rank, "doc_id")
+    ranked = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(epochs))
+        .withColumn("pos", F.row_number().over(w))
+    )
+    out = ranked.groupBy("epoch").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("pos") * F.col("doc_id")).cast("bigint").alias("perm_checksum"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("pos") <= 5, F.struct("pos", "doc_id"))
+                    )
+                ),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("head5"),
+    )
+    return tiny_sort(out, "epoch")
