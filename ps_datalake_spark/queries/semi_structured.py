@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ._util import T, dround
+from ._util import T, dround, tiny_sort
 
 
 # ---------------------------------------------------------------------------
@@ -314,3 +314,59 @@ def b29_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("label", "dim", dround("centroid", 6).alias("centroid")).orderBy(
         "label", "dim"
     )
+
+
+@query(
+    "b28_udtf_chunks",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents WHERE doc_id < 40 AND text IS NOT NULL
+    ),
+    nums AS (
+      SELECT doc_id, ws,
+             unnest(range(CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS c
+      FROM d
+    )
+    SELECT doc_id, CAST(c AS BIGINT) AS chunk_no,
+           CAST(len(ws[(c*20+1):(c*20+20)]) AS BIGINT) AS n_words,
+           CAST(length(array_to_string(ws[(c*20+1):(c*20+20)], ' '))
+                AS BIGINT) AS chunk_chars
+    FROM nums
+    ORDER BY doc_id, chunk_no
+    """,
+    tags=("B28", "llm"),
+    doc="Python user-defined TABLE function (the Spark 4 UDTF API — the "
+    "declared UDF surface's table-valued member): a ChunkWords UDTF "
+    "yields one row per 20-word chunk and is applied per document with "
+    "a LATERAL join — the row-multiplying shape scalar UDFs cannot "
+    "express. Declared-API coverage like b28_pandas_udf: the production "
+    "chunker is the JVM-side array expression path (b41_doc_chunking); "
+    "this exercises the UDTF protocol itself (per-row Python generator, "
+    "Arrow row transfer, lateral correlation).",
+)
+def b28_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no bigint, n_words bigint, chunk_chars bigint")
+    class ChunkWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            ws = text.split()
+            for i in range(0, len(ws), 20):
+                part = ws[i : i + 20]
+                yield (i // 20, len(part), len(" ".join(part)))
+
+    name = "ps_chunk_words"
+    spark.udtf.register(name, ChunkWords)
+    T(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 40) & F.col("text").isNotNull()
+    ).select("doc_id", F.trim("text").alias("t")).createOrReplaceTempView(
+        "ps_udtf_docs"
+    )
+    out = spark.sql(
+        f"SELECT doc_id, c.chunk_no, c.n_words, c.chunk_chars "
+        f"FROM ps_udtf_docs, LATERAL {name}(t) c"
+    )
+    return tiny_sort(out, "doc_id", "chunk_no")
