@@ -230,3 +230,52 @@ def b44_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import tiny_sort
 
     return tiny_sort(out, "event_type", "day")
+
+
+@query(
+    "b10_regression_agg",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(ts::TIMESTAMP::DATE - DATE '2024-01-01' AS DOUBLE) AS t,
+             value AS y
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(y, t), 6) AS slope,
+           round(regr_intercept(y, t), 6) AS icept,
+           round(regr_r2(y, t), 6) AS r2,
+           round(corr(y, t), 6) AS r
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("B10", "stats"),
+    doc="Statistical regression aggregates: per-event-type least-squares "
+    "slope/intercept/R2 and Pearson correlation of value against "
+    "days-since-epoch-start — the trend-detection aggregate family "
+    "(regr_*), computed JVM-side as distributive moment partials "
+    "(sum, sum x, sum xy, ...) with constant shuffle state per group, "
+    "the same scale shape as b65_embedding_covariance. The time axis is "
+    "anchored to the fixture start and measured in DAYS so the moment "
+    "sums stay small enough that 6dp rounding absorbs cross-engine "
+    "float-summation drift (epoch-second axes would square to 1e18 and "
+    "lose the rounding margin).",
+)
+def b10_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("t"),
+        F.col("value").alias("y"),
+    )
+    out = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dround(F.regr_slope("y", "t"), 6).alias("slope"),
+        dround(F.regr_intercept("y", "t"), 6).alias("icept"),
+        dround(F.regr_r2("y", "t"), 6).alias("r2"),
+        dround(F.corr("y", "t"), 6).alias("r"),
+    )
+    from ._util import tiny_sort
+
+    return tiny_sort(out, "event_type")
