@@ -1295,3 +1295,85 @@ def b24_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.greatest(F.col("o_totalprice"), F.lit(150000.0)), 2).alias("at_least"),
         dround(F.least(F.col("o_totalprice"), F.lit(150000.0)), 2).alias("at_most"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "b48_skew_report",
+    oracle="""
+    WITH keyed AS (
+      SELECT 'events.user_id' AS rel, CAST(user_id AS VARCHAR) AS k FROM events
+      UNION ALL
+      SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+    ),
+    per_key AS (
+      SELECT rel, k, count(*) AS c FROM keyed GROUP BY rel, k
+    ),
+    ranked AS (
+      SELECT rel, c,
+             row_number() OVER (PARTITION BY rel ORDER BY c, k) AS rn,
+             count(*) OVER (PARTITION BY rel) AS ndv,
+             sum(c) OVER (PARTITION BY rel) AS n
+      FROM per_key
+    )
+    SELECT rel,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(ndv) AS BIGINT) AS ndv,
+           round(CAST(max(c) AS DOUBLE) / max(n) * 1000000) / 1000000
+             AS top_share,
+           round(CAST(max(CASE WHEN rn = (99 * ndv + 99) // 100 THEN c END)
+                      AS DOUBLE) / (CAST(max(n) AS DOUBLE) / max(ndv))
+                 * 10000) / 10000 AS p99_over_mean
+    FROM ranked
+    GROUP BY rel ORDER BY rel
+    """,
+    tags=("B48", "partitioning"),
+    doc="Join-key skew diagnosis (the analysis a pipeline runs BEFORE "
+    "choosing salting / AQE skew thresholds at 100 TB): for each "
+    "candidate shuffle key, one pass computes row count, exact NDV, the "
+    "hottest key's row share, and the nearest-rank p99 per-key count "
+    "over the mean — the two numbers that decide whether a key needs "
+    "salting (b48_salted_skew_join) or survives a plain hash shuffle. "
+    "Per-key counts aggregate with map-side partials; the percentile is "
+    "the b57 integer nearest-rank (no float interpolation).",
+)
+def b48_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    keyed = (
+        T(spark, sf_dir, "events")
+        .select(F.lit("events.user_id").alias("rel"), F.col("user_id").cast("string").alias("k"))
+        .unionByName(
+            T(spark, sf_dir, "orders").select(
+                F.lit("orders.o_custkey").alias("rel"),
+                F.col("o_custkey").cast("string").alias("k"),
+            )
+        )
+        .unionByName(
+            T(spark, sf_dir, "lineitem").select(
+                F.lit("lineitem.l_suppkey").alias("rel"),
+                F.col("l_suppkey").cast("string").alias("k"),
+            )
+        )
+    )
+    per_key = keyed.groupBy("rel", "k").agg(F.count("*").alias("c"))
+    wr = Window.partitionBy("rel").orderBy("c", "k")
+    wp = Window.partitionBy("rel")
+    ranked = per_key.select(
+        "rel",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wp).alias("ndv"),
+        F.sum("c").over(wp).alias("n"),
+    )
+    p99_c = F.max(F.when(F.col("rn") == F.expr("(99 * ndv + 99) div 100"), F.col("c")))
+    out = ranked.groupBy("rel").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.max("ndv").cast("bigint").alias("ndv"),
+        dround(F.max("c").cast("double") / F.max("n"), 6).alias("top_share"),
+        dround(
+            p99_c.cast("double") / (F.max("n").cast("double") / F.max("ndv")), 4
+        ).alias("p99_over_mean"),
+    )
+    return tiny_sort(out, "rel")
