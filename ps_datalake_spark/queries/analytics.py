@@ -279,3 +279,59 @@ def b10_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import tiny_sort
 
     return tiny_sort(out, "event_type")
+
+
+@query(
+    "b45_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev, event_type AS next, count(*) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, next
+    ),
+    tot AS (SELECT prev, sum(c) AS n FROM pairs GROUP BY prev)
+    SELECT p.prev, p.next, CAST(p.c AS BIGINT) AS c,
+           round(CAST(p.c AS DOUBLE) / t.n * 1000000) / 1000000 AS p
+    FROM pairs p JOIN tot t USING (prev)
+    ORDER BY p.prev, p.next
+    """,
+    tags=("B45", "B15"),
+    doc="Event-sequence transition matrix (first-order Markov): lag() over "
+    "each user's (ts, event_id)-ordered stream pairs every event with "
+    "its predecessor, then the (prev, next) counts normalize into "
+    "conditional transition probabilities — the product-analytics "
+    "primitive behind next-action prediction and funnel discovery. One "
+    "keyed window shuffle plus a bounded (|types|^2) aggregation at any "
+    "scale.",
+)
+def b45_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    pairs = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = pairs.groupBy("prev").agg(F.sum("c").alias("n"))
+    out = pairs.join(tot, "prev").select(
+        "prev",
+        "next",
+        F.col("c").cast("bigint").alias("c"),
+        dround(F.col("c").cast("double") / F.col("n"), 6).alias("p"),
+    )
+    from ._util import tiny_sort
+
+    return tiny_sort(out, "prev", "next")
