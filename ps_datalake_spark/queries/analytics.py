@@ -335,3 +335,85 @@ def b45_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import tiny_sort
 
     return tiny_sort(out, "prev", "next")
+
+
+@query(
+    "b45_batch_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+      FROM events WHERE user_id < 40
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, s,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT user_id, session_no, count(*) AS n_events,
+             max(s) - min(s) AS dur_s
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(max(dur_s) AS BIGINT) AS max_session_s
+    FROM per_sess GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("B45", "B15"),
+    doc="Batch sessionization (the lag+cumsum idiom — the batch counterpart "
+    "of the streaming session_window in b31): a 30-minute inactivity gap "
+    "starts a new session; session ids are the running sum of gap flags "
+    "over each user's (ts, event_id)-ordered stream — one keyed window "
+    "shuffle, then per-session and per-user aggregates. Timestamps are "
+    "compared in integer epoch seconds so gap arithmetic is exact on "
+    "both engines.",
+)
+def b45_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_timestamp("ts").alias("s"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("prev_s", F.lag("s").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_s").isNull() | (F.col("s") - F.col("prev_s") > 1800), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max("s") - F.min("s")).alias("dur_s"),
+    )
+    out = per_sess.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+        F.max("dur_s").cast("bigint").alias("max_session_s"),
+    )
+    from ._util import tiny_sort
+
+    return tiny_sort(out, "user_id")

@@ -292,3 +292,98 @@ def b68_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tiny_sort(agg, "doc_id")
+
+
+@query(
+    "b37_pmi_collocations",
+    oracle=r"""
+    WITH t AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE term <> ''
+    ),
+    top_terms AS (
+      SELECT term, count(*) AS df FROM t
+      GROUP BY term ORDER BY df DESC, term LIMIT 12
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM t),
+    tt AS (SELECT t.doc_id, t.term, p.df FROM t JOIN top_terms p USING (term)),
+    co AS (
+      SELECT a.term AS x, b.term AS y,
+             a.df AS dfx, b.df AS dfy, count(*) AS dfxy
+      FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT x, y, CAST(dfxy AS BIGINT) AS dfxy,
+           round(ln((CAST(dfxy AS DOUBLE) * nd)
+                    / (CAST(dfx AS DOUBLE) * dfy)) * 1000000) / 1000000
+             AS pmi
+    FROM co CROSS JOIN n
+    WHERE dfxy >= 5
+    ORDER BY x, y
+    """,
+    tags=("B37", "llm", "tokenize"),
+    doc="PMI collocation mining over document co-occurrence: restrict to "
+    "the top-12 document-frequency terms (deterministic df DESC, term "
+    "ASC), self-join their postings on doc_id with a < ordering (each "
+    "unordered pair counted once), and score pointwise mutual "
+    "information ln(P(x,y)/(P(x)P(y))) — the corpus-statistics primitive "
+    "behind collocation extraction and phrase vocabulary induction. The "
+    "co-occurrence join is bounded by (top-k postings)^2 per document — "
+    "never all-terms x all-terms — and the top-k restriction is the same "
+    "df-cap discipline the near-dup posting joins document for 100 TB.",
+)
+def b37_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    top_terms = (
+        t.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(12)
+    )
+    nd = t.select("doc_id").distinct().count()
+    tt = t.join(F.broadcast(top_terms), "term").select("doc_id", "term", "df")
+    a = tt.alias("a")
+    b = tt.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("x"),
+            F.col("b.term").alias("y"),
+            F.col("a.df").alias("dfx"),
+            F.col("b.df").alias("dfy"),
+        )
+        .agg(F.count("*").alias("dfxy"))
+        .where(F.col("dfxy") >= 5)
+    )
+    out = co.select(
+        "x",
+        "y",
+        F.col("dfxy").cast("bigint").alias("dfxy"),
+        (
+            F.round(
+                F.log(
+                    (F.col("dfxy").cast("double") * F.lit(float(nd)))
+                    / (F.col("dfx").cast("double") * F.col("dfy"))
+                )
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("pmi"),
+    )
+    return tiny_sort(out, "x", "y")
