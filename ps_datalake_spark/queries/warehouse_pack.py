@@ -753,3 +753,68 @@ def b58_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tiny_sort(out, "status")
+
+
+@query(
+    "b58_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphan
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    ORDER BY fk
+    """,
+    tags=("B7", "warehouse"),
+    doc="Referential-integrity audit: for each declared foreign key, count "
+    "child rows and orphans (children with no parent) via LEFT ANTI "
+    "joins — the data-quality gate a warehouse load runs before "
+    "publishing. Parent key sets broadcast when small (nation, customer); "
+    "the fact-side anti-joins are the same plan shape as B7. One pass "
+    "per relation; a zero orphan count on every row is the pass "
+    "condition this fixture satisfies by construction.",
+)
+def b58_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(label, child, ckey, parent, pkey, broadcast_parent):
+        p = parent.select(pkey).distinct()
+        if broadcast_parent:
+            p = F.broadcast(p)
+        orphans = child.join(p, child[ckey] == p[pkey], "left_anti")
+        return (
+            child.agg(F.count("*").cast("bigint").alias("n_child"))
+            .crossJoin(
+                orphans.agg(F.count("*").cast("bigint").alias("n_orphan"))
+            )
+            .select(F.lit(label).alias("fk"), "n_child", "n_orphan")
+        )
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    out = (
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey", False)
+        .unionByName(audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey", True))
+        .unionByName(audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey", True))
+        .unionByName(audit("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey", True))
+    )
+    return tiny_sort(out, "fk")
