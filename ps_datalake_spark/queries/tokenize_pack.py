@@ -387,3 +387,72 @@ def b37_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pmi"),
     )
     return tiny_sort(out, "x", "y")
+
+
+_STEM_CASES = (
+    "caresses", "ponies", "cats", "agreed", "plastered", "motoring",
+    "hopping", "falling", "filing", "sized", "relational", "conditional",
+    "rational", "digitizer", "operator", "feudalism", "decisiveness",
+    "hopefulness", "electricity", "goodness", "adjustable", "adoption",
+    "activate", "controlling", "probate", "rate", "cease",
+)
+
+
+@query(
+    "b37_stemming",
+    # end-to-end stems derived BY HAND from the published algorithm
+    # (each word walked through steps 1a-5b on paper; see
+    # operators/stemmer.py for the rules) — the oracle is independent of
+    # the implementation under test.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('caresses','caress'), ('ponies','poni'), ('cats','cat'),
+      ('agreed','agre'), ('plastered','plaster'), ('motoring','motor'),
+      ('hopping','hop'), ('falling','fall'), ('filing','file'),
+      ('sized','size'), ('relational','relat'), ('conditional','condit'),
+      ('rational','ration'), ('digitizer','digit'), ('operator','oper'),
+      ('feudalism','feudal'), ('decisiveness','decis'),
+      ('hopefulness','hope'), ('electricity','electr'),
+      ('goodness','good'), ('adjustable','adjust'), ('adoption','adopt'),
+      ('activate','activ'), ('controlling','control'),
+      ('probate','probat'), ('rate','rate'), ('cease','ceas')
+    ) AS t(word, stem)
+    ORDER BY word
+    """,
+    tags=("B37", "llm", "tokenize"),
+    doc="Porter stemming (the standard English suffix-stripper, Porter "
+    "1980): operators/stemmer.py implements the published steps 1a-5b "
+    "(measure/cvc conditions, longest-suffix-match per step) and runs "
+    "over an Arrow-batched mapInPandas — embarrassingly parallel, zero "
+    "shuffle, the IR-normalization pass between tokenization and index "
+    "construction (b64_bm25_topk). The oracle is 27 end-to-end stems "
+    "derived BY HAND from the paper's rules — covering every step, both "
+    "1b repair branches, longest-match tie cases (rational vs "
+    "relational), and the m/cvc guards of step 5.",
+)
+def b37_stemming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import stemmer as _stem_mod
+
+    words = spark.createDataFrame([(w,) for w in _STEM_CASES], "word string")
+
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_stem_mod)
+    try:
+        _blob = _cp.dumps(_stem_mod.porter_stem)
+    finally:
+        _cp.unregister_pickle_by_value(_stem_mod)
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pickle as _pickle
+
+        stem = _pickle.loads(_blob)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"word": pdf["word"], "stem": [stem(w) for w in pdf["word"]]}
+            )
+
+    out = words.mapInPandas(_apply, "word string, stem string")
+    return tiny_sort(out, "word")
