@@ -417,3 +417,40 @@ def b45_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import tiny_sort
 
     return tiny_sort(out, "user_id")
+
+
+@query(
+    "b10_argmax_quantiles",
+    oracle="""
+    SELECT event_type,
+           CAST(arg_min(event_id, ts) AS BIGINT) AS first_event,
+           CAST(arg_max(event_id, ts) AS BIGINT) AS last_event,
+           round(quantile_cont(value, 0.5) * 1000000) / 1000000 AS p50c,
+           round(quantile_cont(value, 0.9) * 1000000) / 1000000 AS p90c,
+           round(median(value) * 1000000) / 1000000 AS med
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("B10", "B12", "stats"),
+    doc="Argmax aggregates and exact interpolated percentiles: "
+    "max_by/min_by (DuckDB arg_max/arg_min) pick each event type's first "
+    "and last event id ordered by the globally-unique timestamp — "
+    "deterministic with no tie-break needed — and percentile()/median() "
+    "compute the exact continuous (interpolated) quantiles, the "
+    "complement of b12's approx sketch and b57's nearest-rank discrete "
+    "variant. 6dp rounding absorbs the one-ulp difference between the "
+    "engines' algebraically-equal interpolation formulas. All "
+    "distributive/sorted-group aggregates — one shuffle on the group "
+    "key.",
+)
+def b10_argmax_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.min_by("event_id", "ts").cast("bigint").alias("first_event"),
+        F.max_by("event_id", "ts").cast("bigint").alias("last_event"),
+        dround(F.percentile("value", 0.5), 6).alias("p50c"),
+        dround(F.percentile("value", 0.9), 6).alias("p90c"),
+        dround(F.median("value"), 6).alias("med"),
+    )
+    from ._util import tiny_sort
+
+    return tiny_sort(out, "event_type")
