@@ -423,8 +423,12 @@ def b45_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b10_argmax_quantiles",
     oracle="""
     SELECT event_type,
-           CAST(arg_min(event_id, ts) AS BIGINT) AS first_event,
-           CAST(arg_max(event_id, ts) AS BIGINT) AS last_event,
+           CAST(arg_min(event_id, lpad(CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), 20, '0')
+                                  || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                AS BIGINT) AS first_event,
+           CAST(arg_max(event_id, lpad(CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), 20, '0')
+                                  || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                AS BIGINT) AS last_event,
            round(quantile_cont(value, 0.5) * 1000000) / 1000000 AS p50c,
            round(quantile_cont(value, 0.9) * 1000000) / 1000000 AS p90c,
            round(median(value) * 1000000) / 1000000 AS med
@@ -433,8 +437,10 @@ def b45_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B10", "B12", "stats"),
     doc="Argmax aggregates and exact interpolated percentiles: "
     "max_by/min_by (DuckDB arg_max/arg_min) pick each event type's first "
-    "and last event id ordered by the globally-unique timestamp — "
-    "deterministic with no tie-break needed — and percentile()/median() "
+    "and last event id ordered by a fixed-width (ts, event_id) string key "
+    "— timestamp ties (absent in the base fixture, present across the "
+    "scale probe's copies) break identically on both engines — and "
+    "percentile()/median() "
     "compute the exact continuous (interpolated) quantiles, the "
     "complement of b12's approx sketch and b57's nearest-rank discrete "
     "variant. 6dp rounding absorbs the one-ulp difference between the "
@@ -444,9 +450,19 @@ def b45_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b10_argmax_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
+    # composite (ts, event_id) ordering encoded as a fixed-width string so
+    # BOTH engines break timestamp ties identically — ts is unique in the
+    # base fixture but collides across the scale probe's salted copies
+    # (caught by the 10x full-registry sweep)
+    ordk = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"
+        ),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
     out = ev.groupBy("event_type").agg(
-        F.min_by("event_id", "ts").cast("bigint").alias("first_event"),
-        F.max_by("event_id", "ts").cast("bigint").alias("last_event"),
+        F.min_by("event_id", ordk).cast("bigint").alias("first_event"),
+        F.max_by("event_id", ordk).cast("bigint").alias("last_event"),
         dround(F.percentile("value", 0.5), 6).alias("p50c"),
         dround(F.percentile("value", 0.9), 6).alias("p90c"),
         dround(F.median("value"), 6).alias("med"),

@@ -225,15 +225,23 @@ def b59_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "executors (constant-size partials through the shuffle). The oracle "
     "verifies the exact per-group counts plus two planted invariants the "
     "sketch algebra guarantees: union-of-partials equals the direct "
-    "whole-table sketch (lossless merge), and at small cardinality the "
-    "sketch is in exact (coupon) mode so the estimate equals the true "
-    "distinct count.",
+    "whole-table sketch (lossless merge), and on a domain-bounded key "
+    "(user_id mod 97 — coupon-exact mode at ANY corpus scale) the "
+    "estimate equals the true distinct count.",
 )
 def b60_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = T(spark, sf_dir, "events").select("event_type", "user_id")
+    # the two planted invariants run on a DOMAIN-BOUNDED key (user_id mod
+    # 97 — at most 97 uniques at ANY corpus scale), so the sketch stays in
+    # exact coupon mode by construction; raw user_id cardinality grows
+    # with the scale probes and pushed the sketch into estimation mode at
+    # the 10x sweep (estimate != exact, invariant broken by scale, not by
+    # the algebra). Per-type exact counts stay on the raw key.
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", "user_id", (F.col("user_id") % 97).alias("um")
+    )
     per = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("bigint").alias("exact_users"),
-        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_agg("um").alias("sk"),
     )
     merged = per.agg(
         F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")))
@@ -241,10 +249,10 @@ def b60_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("merged_est")
     )
     direct = ev.agg(
-        F.round(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")))
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg("um")))
         .cast("bigint")
         .alias("direct_est"),
-        F.count_distinct("user_id").cast("bigint").alias("exact_total"),
+        F.count_distinct("um").cast("bigint").alias("exact_total"),
     )
     out = (
         per.select("event_type", "exact_users")
