@@ -456,3 +456,108 @@ def b37_stemming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = words.mapInPandas(_apply, "word string, stem string")
     return tiny_sort(out, "word")
+
+
+# planted WordPiece vocabulary — small enough that every tokenization
+# below is verifiable by hand (greedy longest-match-first, '##'
+# continuation prefix, [UNK] when no prefix matches)
+WP_VOCAB: tuple[str, ...] = (
+    "un", "affable", "aff", "##able", "##ab", "##le", "run", "##ning",
+    "##n", "play", "##ing", "s", "##s", "the",
+)
+
+_WP_WORDS = (
+    "unaffable", "running", "plays", "playing", "the", "thes", "zzz",
+    "run", "runs",
+)
+
+
+def wordpiece_encode(word: str, vocab=WP_VOCAB) -> list[str]:
+    """Greedy longest-match-first WordPiece: at each position take the
+    LONGEST vocab entry matching the remaining suffix (continuations
+    carry the '##' prefix); if none matches, the whole word becomes
+    [UNK]."""
+    vs = set(vocab)
+    out: list[str] = []
+    i = 0
+    while i < len(word):
+        end = len(word)
+        cur = None
+        while end > i:
+            piece = word[i:end]
+            if i > 0:
+                piece = "##" + piece
+            if piece in vs:
+                cur = piece
+                break
+            end -= 1
+        if cur is None:
+            return ["[UNK]"]
+        out.append(cur)
+        i = end
+    return out
+
+
+@query(
+    "b37_wordpiece",
+    # hand-derived tokenizations against WP_VOCAB (greedy longest-match,
+    # whole-word [UNK] on any positional failure): e.g. 'unaffable' ->
+    # greedy picks 'un' at pos 0, then the remainder 'affable' has NO
+    # matching continuation ('##affable'..'##a' all absent — the vocab's
+    # 'aff' lacks the ## prefix and '##ab' does not match 'af...') so
+    # the WHOLE word collapses to [UNK] per the published algorithm.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('unaffable', 1, '[UNK]'),
+      ('running',   1, 'run'), ('running', 2, '##ning'),
+      ('plays',     1, 'play'), ('plays', 2, '##s'),
+      ('playing',   1, 'play'), ('playing', 2, '##ing'),
+      ('the',       1, 'the'),
+      ('thes',      1, 'the'), ('thes', 2, '##s'),
+      ('zzz',       1, '[UNK]'),
+      ('run',       1, 'run'),
+      ('runs',      1, 'run'), ('runs', 2, '##s')
+    ) AS t(word, seq, token)
+    ORDER BY word, seq
+    """,
+    tags=("B37", "llm", "tokenize"),
+    doc="WordPiece tokenization (greedy longest-match-first with '##' "
+    "continuation pieces and whole-word [UNK] fallback — the BERT-family "
+    "subword algorithm, complementing the merge-driven BPE of "
+    "b68_bpe_apply): Arrow-batched mapInPandas over a broadcast planted "
+    "vocabulary, zero shuffle. The oracle is a hand-derived token table; "
+    "note 'unaffable' exposes greedy WordPiece's whole-word [UNK] "
+    "semantics: greedy 'un' strands a remainder with no continuation "
+    "match, so the entire word collapses to [UNK] even though the vocab "
+    "covers other splits of it.",
+)
+def b37_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = spark.createDataFrame([(w,) for w in _WP_WORDS], "word string")
+
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _self = _sys.modules[__name__]
+    _cp.register_pickle_by_value(_self)
+    try:
+        _blob = _cp.dumps(wordpiece_encode)
+    finally:
+        _cp.unregister_pickle_by_value(_self)
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pickle as _pickle
+
+        enc = _pickle.loads(_blob)
+        for pdf in batches:
+            out = {"word": [], "toks": []}
+            for w in pdf["word"]:
+                out["word"].append(w)
+                out["toks"].append(enc(str(w)))
+            yield pd.DataFrame(out)
+
+    enc = words.mapInPandas(_enc, "word string, toks array<string>")
+    exploded = enc.select(
+        "word", F.posexplode("toks").alias("pos0", "token")
+    ).select("word", (F.col("pos0") + 1).cast("int").alias("seq"), "token")
+    return tiny_sort(exploded, "word", "seq")
