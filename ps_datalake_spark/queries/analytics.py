@@ -470,3 +470,57 @@ def b10_argmax_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import tiny_sort
 
     return tiny_sort(out, "event_type")
+
+
+@query(
+    "b45_market_basket",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 20 AS item FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    i1 AS (
+      SELECT CAST(item AS VARCHAR) AS itemset, 1 AS sz, count(*) AS freq
+      FROM b GROUP BY item
+    ),
+    i2 AS (
+      SELECT CAST(a.item AS VARCHAR) || ',' || CAST(c.item AS VARCHAR)
+               AS itemset, 2 AS sz, count(*) AS freq
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.item < c.item
+      GROUP BY 1
+    )
+    SELECT itemset, CAST(sz AS INT) AS sz, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM i1 UNION ALL SELECT * FROM i2) u CROSS JOIN n
+    WHERE freq >= ceil(0.02 * n_orders)
+    ORDER BY sz, itemset
+    """,
+    tags=("B45", "ml"),
+    doc="Frequent-itemset mining via distributed FP-Growth (ml.fpm — "
+    "parallel PFP, the market-basket algorithm): baskets are each "
+    "order's distinct item set (l_partkey mod 20), minSupport 0.02. "
+    "FP-Growth is EXACT, so the size-1/size-2 itemsets hash-match a "
+    "direct SQL count (singleton group-by + within-order pair self-join "
+    "with a < canonical order); size-3+ itemsets are excluded on both "
+    "sides so the oracle stays polynomial. Itemsets serialize as "
+    "numerically-sorted comma strings on both engines. The PFP shuffle "
+    "is keyed on item suffixes — the published scale-out of FP-Growth.",
+)
+def b45_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import FPGrowth
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 20).alias("item")
+    )
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("item").alias("items"))
+    model = FPGrowth(itemsCol="items", minSupport=0.02).fit(baskets)
+    fi = model.freqItemsets.where(F.size("items") <= 2)
+    out = fi.select(
+        F.array_join(
+            F.transform(F.array_sort("items"), lambda x: x.cast("string")), ","
+        ).alias("itemset"),
+        F.size("items").cast("int").alias("sz"),
+        F.col("freq").cast("bigint").alias("freq"),
+    )
+    from ._util import tiny_sort
+
+    return tiny_sort(out, "sz", "itemset")
