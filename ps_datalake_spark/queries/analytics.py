@@ -524,3 +524,97 @@ def b45_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import tiny_sort
 
     return tiny_sort(out, "sz", "itemset")
+
+
+@query(
+    "b45_naive_bayes",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x = 'table')) AS f0,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x = 'scan')) AS f1,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x = 'fast')) AS f2
+      FROM documents WHERE text IS NOT NULL
+    ),
+    per AS (
+      SELECT lang, count(*) AS n_docs,
+             sum(f0) AS c0, sum(f1) AS c1, sum(f2) AS c2
+      FROM t GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_docs) AS n, count(*) AS k FROM per)
+    SELECT lang, j,
+           round(ln((c + 1.0) / (c0 + c1 + c2 + 3.0)) * 1000000) / 1000000
+             AS theta,
+           round(ln((n_docs + 1.0) / (n + k)) * 1000000) / 1000000 AS pi
+    FROM (
+      SELECT p.lang, u.j,
+             CASE u.j WHEN 0 THEN p.c0 WHEN 1 THEN p.c1 ELSE p.c2 END AS c,
+             p.c0, p.c1, p.c2, p.n_docs
+      FROM per p CROSS JOIN (SELECT unnest(range(3)) AS j) u
+    ) x CROSS JOIN tot
+    ORDER BY lang, j
+    """,
+    tags=("B45", "ml"),
+    doc="Distributed ML training with EXACTLY checkable parameters: a "
+    "multinomial Naive Bayes classifier (ml.classification) fit on "
+    "per-language counts of three marker tokens. NB training is pure "
+    "counting, so the fitted log-likelihood matrix equals the closed "
+    "form ln((count+smoothing)/(class_total+V)) and the class priors "
+    "equal ln((n_class+1)/(n+k)) — both computed independently in SQL "
+    "and rounded at 6dp (ln ulp drift). The label index is the "
+    "alphabetical language rank on both sides; model matrices are "
+    "driver-bounded (k x V = 5 x 3). The same count aggregation is the "
+    "scalable path at 100 TB — model fit IS one groupBy.",
+)
+def b45_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+
+    def cnt(w):
+        return F.size(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x == w
+            )
+        ).cast("double")
+
+    feats = docs.select(
+        "lang", cnt("table").alias("f0"), cnt("scan").alias("f1"),
+        cnt("fast").alias("f2"),
+    )
+    lab = feats.withColumn(
+        "label", F.dense_rank().over(Window.orderBy("lang")) - 1
+    )
+    data = VectorAssembler(
+        inputCols=["f0", "f1", "f2"], outputCol="features"
+    ).transform(lab).select(F.col("label").cast("double"), "features")
+    model = NaiveBayes(smoothing=1.0, modelType="multinomial").fit(data)
+
+    langs = [
+        r["lang"]
+        for r in docs.select("lang").distinct().orderBy("lang").collect()
+    ]
+    theta = model.theta.toArray()
+    pi = model.pi.toArray()
+    rows = [
+        (langs[i], j, float(theta[i][j]), float(pi[i]))
+        for i in range(len(langs))
+        for j in range(3)
+    ]
+    raw = spark.createDataFrame(
+        rows, "lang string, j int, theta_raw double, pi_raw double"
+    )
+    out = raw.select(
+        "lang",
+        "j",
+        dround("theta_raw", 6).alias("theta"),
+        dround("pi_raw", 6).alias("pi"),
+    )
+    from ._util import tiny_sort
+
+    return tiny_sort(out, "lang", "j")
