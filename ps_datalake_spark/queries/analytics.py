@@ -618,3 +618,57 @@ def b45_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import tiny_sort
 
     return tiny_sort(out, "lang", "j")
+
+
+@query(
+    "b45_chi_square",
+    oracle="""
+    WITH t AS (SELECT lang, source FROM documents WHERE text IS NOT NULL),
+    cell AS (SELECT lang, source, count(*) AS c FROM t GROUP BY 1, 2),
+    r AS (SELECT lang, sum(c) AS rc FROM cell GROUP BY 1),
+    col AS (SELECT source, sum(c) AS cc FROM cell GROUP BY 1),
+    n AS (SELECT sum(c) AS n FROM cell),
+    grid AS (
+      SELECT r.lang, col.source, r.rc, col.cc, coalesce(cell.c, 0) AS obs
+      FROM r CROSS JOIN col
+      LEFT JOIN cell ON cell.lang = r.lang AND cell.source = col.source
+    )
+    SELECT round(sum(pow(obs - rc * cc / n.n, 2) / (rc * cc / n.n))
+                 * 1000000) / 1000000 AS statistic,
+           CAST((SELECT count(*) - 1 FROM r)
+                * (SELECT count(*) - 1 FROM col) AS BIGINT) AS dof
+    FROM grid CROSS JOIN n
+    """,
+    tags=("B45", "ml", "stats"),
+    doc="Chi-square independence test (ml.stat.ChiSquareTest) between "
+    "document language and source: the statistic is the closed-form "
+    "sum((obs - expected)^2 / expected) over the contingency table, so "
+    "the distributed test must match the SQL recomputation exactly "
+    "(6dp — float-sum ulp only); degrees of freedom (r-1)(c-1) match as "
+    "integers. The contingency counts are one groupBy — the test "
+    "scales as a bounded-cell aggregation at any corpus size.",
+)
+def b45_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import ChiSquareTest
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = docs.withColumn(
+        "label", F.dense_rank().over(Window.orderBy("lang")) - 1
+    ).withColumn(
+        "srcidx", (F.dense_rank().over(Window.orderBy("source")) - 1).cast("double")
+    )
+    data = (
+        VectorAssembler(inputCols=["srcidx"], outputCol="features")
+        .transform(d)
+        .select(F.col("label").cast("double"), "features")
+    )
+    r = ChiSquareTest.test(data, "features", "label").collect()[0]
+    raw = spark.createDataFrame(
+        [(float(r.statistics[0]), int(r.degreesOfFreedom[0]))],
+        "statistic_raw double, dof bigint",
+    )
+    return raw.select(
+        dround("statistic_raw", 6).alias("statistic"), "dof"
+    )
