@@ -180,12 +180,16 @@ class Store:
             "quota_bytes": quota_bytes,
             "inline_max": inline_max,
         }
-        with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=2)
-        store = cls(spark, path, readonly=False, manifest=manifest)
         # sentinel chunk ↔ reference's reserved page 0 (store/mod.rs:231-235);
         # written directly (driver-side encrypt) — no distributed pipeline for
-        # one 158-byte row.
+        # one 158-byte row.  WRITE ORDER IS THE CRASH DISCIPLINE: the sentinel
+        # data lands BEFORE manifest.json is published, mirroring the
+        # reference's publish-index-slot-last rule (store/mod.rs:348-362) — a
+        # create() interrupted between the two steps leaves a directory that
+        # sniff() rejects (no magic), so the next caller recreates it instead
+        # of reusing a sentinel-less store (caught by the 10x robustness
+        # sweep: a crashed create left a sniffable store whose chunk count
+        # was forever one short).
         import hashlib
 
         plain = SENTINEL + b"\0" * inline_max
@@ -202,7 +206,9 @@ class Store:
         ).withColumn("hash_prefix", F.substring("hash", 1, prefix_len)).coalesce(1).write.mode(
             "append"
         ).partitionBy("hash_prefix").parquet(os.path.join(path, "chunks"))
-        return store
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        return cls(spark, path, readonly=False, manifest=manifest)
 
     @staticmethod
     def sniff(path: str) -> bool:
@@ -264,6 +270,12 @@ class Store:
                     continue
                 if got.get(name) != dtype:
                     raise Corrupted(f"chunks schema mismatch on {name!r}: {got.get(name)}")
+        else:
+            # a valid store ALWAYS has a committed chunks dataset (the
+            # sentinel is written before the manifest publishes) — a
+            # manifest with no chunks data is a torn create from a writer
+            # that predates the manifest-last discipline, or lost data
+            raise Corrupted("manifest present but chunks dataset missing (torn create)")
         return store
 
     # -- exclusive write lease (A20, src/store/atomic.rs:8-57) ---------------

@@ -16,6 +16,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..errors import Corrupted
 from ..lake import Lake, Store
 from ..registry import query
 from ._util import T, scratch_dir
@@ -40,7 +41,11 @@ def _stable_store(spark: SparkSession, name: str, sf_dir: str) -> Store:
     token = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = scratch_dir(f"{name}_{token}")
     if Store.sniff(path):
-        return Store.open(spark, path)
+        try:
+            return Store.open(spark, path)
+        except Corrupted:
+            # a torn/damaged scratch store is disposable — rebuild it
+            pass
     shutil.rmtree(path, ignore_errors=True)
     return Store.create(spark, path, prefix_len=1)
 

@@ -1106,7 +1106,8 @@ def b18_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "b19_union",
     oracle="""
-    SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    SELECT count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM (
       SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
       UNION ALL
@@ -1114,14 +1115,21 @@ def b18_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("B19",),
-    doc="union (ALL semantics) of two order slices — overlap intentionally double-counted.",
+    doc="union (ALL semantics) of two order slices — overlap intentionally "
+    "double-counted. The price total sums as DECIMAL(18,2) (exact, "
+    "order-independent — the b56 discipline): at the 10x sweep the "
+    "double-sum of 1.5M prices straddled a 2dp rounding boundary between "
+    "engines.",
 )
 def b19_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     a = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_totalprice")
     b = o.where(F.col("o_totalprice") > 100000).select("o_totalprice", "o_orderkey")
     u = a.unionByName(b)  # column-name resolution, not positional
-    return u.agg(F.count("*").alias("cnt"), dround(F.sum("o_totalprice"), 2).alias("total"))
+    return u.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
 
 
 @query(

@@ -374,3 +374,40 @@ def test_chunks_at_time_travel(store, spark):
     # a second maintenance op supersedes the snapshot (depth-1 retention)
     store.compact(target_file_bytes=1 << 20)
     assert store.chunks_at(-1).count() == store.chunks().count()
+
+
+def test_torn_create_is_not_reusable(spark, tmp_path):
+    """Crash-ordering discipline (10x-sweep finding): the sentinel/chunks
+    data commits BEFORE manifest.json publishes, so (a) a directory with
+    chunks but no manifest fails sniff (the half-written state the new
+    order can leave), and (b) a manifest with no chunks dataset — the
+    state the OLD order could leave and which once produced a
+    forever-one-short chunk count — is rejected as Corrupted by open()."""
+    import json
+    import shutil
+
+    from ps_datalake_spark.errors import Corrupted
+    from ps_datalake_spark.lake.store import MAGIC, Store
+
+    # (a) chunks-without-manifest: sniff must reject -> caller recreates
+    p1 = str(tmp_path / "s1")
+    Store.create(spark, p1, prefix_len=1)
+    (tmp_path / "s1" / "manifest.json").unlink()
+    assert not Store.sniff(p1)
+
+    # (b) manifest-without-chunks: open must raise Corrupted
+    p2 = str(tmp_path / "s2")
+    (tmp_path / "s2").mkdir()
+    with open(tmp_path / "s2" / "manifest.json", "w") as f:
+        json.dump(
+            {"magic": MAGIC, "prefix_len": 1, "cipher": "aes-gcm-siv",
+             "quota_bytes": None, "inline_max": 256},
+            f,
+        )
+    assert Store.sniff(p2)
+    try:
+        Store.open(spark, p2)
+        raise AssertionError("open() accepted a torn create")
+    except Corrupted as e:
+        assert "torn create" in str(e)
+    shutil.rmtree(p2, ignore_errors=True)
