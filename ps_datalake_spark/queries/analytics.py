@@ -672,3 +672,44 @@ def b45_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         dround("statistic_raw", 6).alias("statistic"), "dof"
     )
+
+
+@query(
+    "b45_isotonic",
+    # PAVA by hand on y = (1, 3, 2, 6, 5, 4): [3,2] violate -> pool 2.5;
+    # [6,5,4] violate -> pool 5; monotone sequence 1, 2.5, 2.5, 5, 5, 5.
+    oracle="""
+    SELECT * FROM (VALUES
+      (1.0, 1.0), (2.0, 2.5), (3.0, 2.5),
+      (4.0, 5.0), (5.0, 5.0), (6.0, 5.0)
+    ) AS t(x, fitted)
+    ORDER BY x
+    """,
+    tags=("B45", "ml"),
+    doc="Isotonic regression (ml.regression — pool-adjacent-violators): "
+    "the monotone least-squares fit used to CALIBRATE model scores into "
+    "probabilities. PAVA's solution is exact block means, so the fitted "
+    "values at the training points equal the hand-derived pooled "
+    "sequence for the planted violations (3,2 -> 2.5; 6,5,4 -> 5) — a "
+    "literal oracle independent of the implementation. Spark "
+    "parallelizes PAVA per partition then merges pools — the "
+    "distributed shape of the sequential algorithm.",
+)
+def b45_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.linalg import Vectors
+    from pyspark.ml.regression import IsotonicRegression
+
+    ys = [1.0, 3.0, 2.0, 6.0, 5.0, 4.0]
+    data = spark.createDataFrame(
+        [(y, Vectors.dense(float(x))) for x, y in zip(range(1, 7), ys)],
+        ["label", "features"],
+    )
+    model = IsotonicRegression().fit(data)
+    fitted = model.transform(data).select(
+        F.element_at(vector_to_array("features"), 1).cast("double").alias("x"),
+        F.col("prediction").alias("fitted"),
+    )
+    from ._util import tiny_sort
+
+    return tiny_sort(fitted, "x")
