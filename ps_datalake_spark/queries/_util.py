@@ -89,3 +89,25 @@ def dround(col, scale: int = 0):
         col = F.col(col)
     p = float(10**scale)
     return F.round(col * F.lit(p), 0) / F.lit(p)
+
+
+def dumps_by_value(fn) -> bytes:
+    """cloudpickle a module-level function BY VALUE (not by import path).
+
+    The executor's fresh Python worker cannot import ps_datalake_spark when
+    the driver runs from outside the repo (the driver contract adds the repo
+    to the DRIVER's sys.path only; the worker zip covers module-level
+    references but closures built per-query want self-contained payloads).
+    register_pickle_by_value scoped to the dumps call forces the function
+    body into the serialized task; the UDF unpickles it with stdlib pickle.
+    """
+    import sys
+
+    from pyspark import cloudpickle as cp
+
+    mod = sys.modules[fn.__module__]
+    cp.register_pickle_by_value(mod)
+    try:
+        return cp.dumps(fn)
+    finally:
+        cp.unregister_pickle_by_value(mod)

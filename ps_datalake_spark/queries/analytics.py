@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ._util import T, dround
+from ._util import T, dround, tiny_sort
 
 
 @query(
@@ -134,8 +134,7 @@ def b45_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT DISTINCT ts::TIMESTAMP::DATE AS d, user_id FROM events
     ),
-    days AS (SELECT DISTINCT d FROM daily),
-    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily)
+    days AS (SELECT DISTINCT d FROM daily)
     SELECT w.d AS day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS mau7
     FROM days w
     JOIN daily e ON e.d BETWEEN w.d - 6 AND w.d
@@ -171,8 +170,6 @@ def b45_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = contrib.groupBy("day").agg(
         F.countDistinct("user_id").cast("bigint").alias("mau7")
     )
-    from ._util import tiny_sort
-
     return tiny_sort(out, "day")
 
 
@@ -227,8 +224,6 @@ def b44_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("total").cast("double").alias("total"),
     )
-    from ._util import tiny_sort
-
     return tiny_sort(out, "event_type", "day")
 
 
@@ -276,8 +271,6 @@ def b10_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.regr_r2("y", "t"), 6).alias("r2"),
         dround(F.corr("y", "t"), 6).alias("r"),
     )
-    from ._util import tiny_sort
-
     return tiny_sort(out, "event_type")
 
 
@@ -332,8 +325,6 @@ def b45_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("c"),
         dround(F.col("c").cast("double") / F.col("n"), 6).alias("p"),
     )
-    from ._util import tiny_sort
-
     return tiny_sort(out, "prev", "next")
 
 
@@ -414,8 +405,6 @@ def b45_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").cast("bigint").alias("max_session_events"),
         F.max("dur_s").cast("bigint").alias("max_session_s"),
     )
-    from ._util import tiny_sort
-
     return tiny_sort(out, "user_id")
 
 
@@ -467,8 +456,6 @@ def b10_argmax_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.percentile("value", 0.9), 6).alias("p90c"),
         dround(F.median("value"), 6).alias("med"),
     )
-    from ._util import tiny_sort
-
     return tiny_sort(out, "event_type")
 
 
@@ -521,8 +508,6 @@ def b45_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("items").cast("int").alias("sz"),
         F.col("freq").cast("bigint").alias("freq"),
     )
-    from ._util import tiny_sort
-
     return tiny_sort(out, "sz", "itemset")
 
 
@@ -615,8 +600,6 @@ def b45_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("theta_raw", 6).alias("theta"),
         dround("pi_raw", 6).alias("pi"),
     )
-    from ._util import tiny_sort
-
     return tiny_sort(out, "lang", "j")
 
 
@@ -710,6 +693,4 @@ def b45_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(vector_to_array("features"), 1).cast("double").alias("x"),
         F.col("prediction").alias("fitted"),
     )
-    from ._util import tiny_sort
-
     return tiny_sort(fitted, "x")

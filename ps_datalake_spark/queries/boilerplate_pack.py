@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ._util import T, tiny_sort
+from ._util import T, dumps_by_value, tiny_sort
 
 # one exact 8-word line (= the segmenter's line width) planted as the
 # boilerplate header on every even doc_id — the repeated-across-documents
@@ -234,19 +234,8 @@ _NORM_CASES: tuple[tuple[int, str], ...] = (
 def b69_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raws = spark.createDataFrame(list(_NORM_CASES), "sid int, raw string")
 
-    # ship nfc_clean BY VALUE (not by module path): the executor's Python
-    # worker cannot import ps_datalake_spark under the driver contract
-    # (same pattern as tokenize_pack.b68_bpe_apply).
-    import sys as _sys
-
-    from pyspark import cloudpickle as _cp
-
-    _self = _sys.modules[__name__]
-    _cp.register_pickle_by_value(_self)
-    try:
-        _clean_blob = _cp.dumps(nfc_clean)
-    finally:
-        _cp.unregister_pickle_by_value(_self)
+    # ship nfc_clean BY VALUE (not by module path) — see _util.dumps_by_value
+    _clean_blob = dumps_by_value(nfc_clean)
 
     def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pickle as _pickle

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ._util import T, tiny_sort
+from ._util import T, dumps_by_value, tiny_sort
 
 # ranked merge table (rank = priority, lowest first) — tiny by design so
 # every planted tokenization below is verifiable by hand
@@ -104,22 +104,7 @@ def b68_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(w,) for w in _PLANTED_WORDS], "word string"
     )
 
-    # capture the encoder BY VALUE: a bare module-level reference pickles
-    # by name, and the executor's fresh Python worker cannot import
-    # ps_datalake_spark when the driver runs from outside the repo (the
-    # driver contract adds the repo to the DRIVER's sys.path only).
-    # register_pickle_by_value scoped to the dumps call forces the function
-    # body (not its import path) into the serialized task.
-    import sys as _sys
-
-    from pyspark import cloudpickle as _cp
-
-    _self = _sys.modules[__name__]
-    _cp.register_pickle_by_value(_self)
-    try:
-        _enc_blob = _cp.dumps(bpe_encode)
-    finally:
-        _cp.unregister_pickle_by_value(_self)
+    _enc_blob = dumps_by_value(bpe_encode)
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pickle as _pickle
@@ -534,16 +519,7 @@ def wordpiece_encode(word: str, vocab=WP_VOCAB) -> list[str]:
 def b37_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = spark.createDataFrame([(w,) for w in _WP_WORDS], "word string")
 
-    import sys as _sys
-
-    from pyspark import cloudpickle as _cp
-
-    _self = _sys.modules[__name__]
-    _cp.register_pickle_by_value(_self)
-    try:
-        _blob = _cp.dumps(wordpiece_encode)
-    finally:
-        _cp.unregister_pickle_by_value(_self)
+    _blob = dumps_by_value(wordpiece_encode)
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pickle as _pickle
