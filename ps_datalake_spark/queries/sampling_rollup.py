@@ -130,13 +130,13 @@ def b44_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     keyed AS (
       SELECT doc_id, lang, n_chars,
-             CAST(round(ln(u) / n_chars * 1000000000000)
-                  / 1000000000000 AS DECIMAL(16,12)) AS k
+             CAST(round(CAST(CAST(round(ln(u) * 1000000.0) AS BIGINT) * 1000
+                             AS DOUBLE) / n_chars) AS BIGINT) AS k_e9
       FROM docs
     )
-    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, k
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, k_e9
     FROM keyed
-    ORDER BY k DESC, doc_id LIMIT 50
+    ORDER BY k_e9 DESC, doc_id LIMIT 50
     """,
     tags=("B43", "llm", "sampling"),
     doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES): "
@@ -145,10 +145,17 @@ def b44_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A-ES key, weight = n_chars), and the global top-k by key IS an "
     "exact weighted sample without replacement — one scan plus a "
     "TakeOrdered top-k, no global sort, no driver state, reproducible "
-    "on any engine. Keys round to 12dp decimals so a cross-engine ln() "
-    "ulp cannot reorder the boundary; ties (impossible at 12dp except "
-    "for identical inputs) break on doc_id. The exact-k complement of "
-    "b56's rate-based temperature sampling.",
+    "on any engine. Cross-engine determinism (the r5 red row was a "
+    "libm ln() ulp magnified x1e12 across a round() half-boundary): "
+    "ln(u) is first quantised onto a 1e-6 grid — an exact BIGINT both "
+    "engines agree on, since over all 100000 distinct u values the "
+    "nearest half-boundary is 2.6e-5 away vs <=2e-9 scaled libm drift "
+    "— and the remaining x1000/n_chars division then runs on bit-"
+    "identical operands, so its IEEE result and round() are identical "
+    "everywhere (all half-integers below 2^52 are exact doubles). The "
+    "key ships as BIGINT k_e9 (ln(u)/n_chars in 1e-9 units); exact "
+    "ties break on doc_id. The exact-k complement of b56's rate-based "
+    "temperature sampling.",
 )
 def b67_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").where(
@@ -160,14 +167,14 @@ def b67_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 0.5
     ) / 100000.0
-    k = (
-        F.round(F.log(u) / F.col("n_chars") * F.lit(1000000000000.0))
-        / F.lit(1000000000000.0)
-    ).cast("decimal(16,12)")
+    ln_e6 = F.round(F.log(u) * F.lit(1000000.0)).cast("bigint")
+    k_e9 = F.round((ln_e6 * F.lit(1000)).cast("double") / F.col("n_chars")).cast(
+        "bigint"
+    )
     out = docs.select(
         "doc_id",
         "lang",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        k.alias("k"),
+        k_e9.alias("k_e9"),
     )
-    return out.orderBy(F.col("k").desc(), "doc_id").limit(50)
+    return out.orderBy(F.col("k_e9").desc(), "doc_id").limit(50)

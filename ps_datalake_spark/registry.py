@@ -219,7 +219,8 @@ _CONVERTED_IN_R05 = frozenset({"b37_tfidf_ml"})
 # Round-5 retunes: data-proportional queries whose decorative final ORDER BY
 # was dropped on BOTH sides (rows are compared as sorted multisets, and a
 # range sort's boundary-sampling pass re-executes the whole upstream plan).
-# The query/oracle pair changed, so each needs a fresh driver row.
+# The query/oracle pair changed, so each needed a fresh driver row (granted
+# green in round 5).
 _RETUNED_IN_R05 = frozenset(
     {
         "b16_window_frames",
@@ -229,28 +230,63 @@ _RETUNED_IN_R05 = frozenset(
     }
 )
 
+# The 49 queries with a green (rows+schema+hash) driver row in round 5's
+# CORRECTNESS_r05.json — the NEWEST evidence, rotated to the back for round
+# 6.  The round's one red row (b67_weighted_sample_topk, a cross-libm ln()
+# ulp magnified across a round() half-boundary) is NOT here: its key
+# discipline was rewritten (ln quantised to an exact shared BIGINT grid
+# before the magnifying division) and it re-enters the window via
+# _RETUNED_IN_R06.
+_DRIVER_GREEN_R05 = frozenset(
+    {
+        "b10_argmax_quantiles", "b10_regression_agg", "b16_window_frames",
+        "b28_udtf_chunks", "b31_session_window", "b34_exact_dedup",
+        "b37_tfidf_ml", "b37_token_stats", "b39_audio_features",
+        "b39_decode_jpeg", "b44_incremental_agg", "b45_batch_sessionize",
+        "b45_chi_square", "b45_event_transitions", "b45_isotonic",
+        "b45_market_basket", "b45_naive_bayes", "b45_rolling_mau",
+        "b48_skew_report", "b55_tpch_q11", "b55_tpch_q13", "b55_tpch_q15",
+        "b55_tpch_q16", "b55_tpch_q17", "b55_tpch_q2", "b55_tpch_q20",
+        "b55_tpch_q21", "b55_tpch_q7", "b55_tpch_q8", "b55_tpch_q9",
+        "b56_bigram_stats", "b56_epoch_shuffle", "b56_sequence_packing",
+        "b56_temperature_sampling", "b56_unigram_logprob", "b57_ewma",
+        "b57_exact_percentiles", "b57_gap_fill", "b57_resample_ohlc",
+        "b57_sweep_concurrency", "b58_cdc_latest_state", "b58_scd2_dimension",
+        "b59_gopher_quality", "b60_hll_merge", "b61_triangle_count",
+        "b62_schema_evolution", "b63_stream_static_join", "b63_unpivot",
+        "b68_dedup_within_watermark",
+    }
+)
+
+# Round-6 retunes: queries whose Spark/oracle pair changed this round and
+# therefore need a fresh hash-verified driver row even though a historical
+# row exists.
+_RETUNED_IN_R06 = frozenset({"b67_weighted_sample_topk"})
+
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules on first access so the registry is populated.
     from . import queries as _  # noqa: F401
 
     # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
-    # Round-5 window = rank 0 (the 32 brand-new r5 queries + the
-    # b37_tfidf_ml conversion + the 4 ORDER-BY retunes) + as many rank-1
-    # queries (freshest green evidence round 2 — three rounds old) as fit;
-    # 18 of those 28 make the cut this round, the remaining 10 queue for
-    # round 6 ahead of everything r3/r4-verified. The 50 r4-verified
-    # queries (freshest evidence) rotate to the back.
+    # Round-6 window = rank 0 (every query with NO green driver row yet —
+    # the 24 round-5 late registrations + the rewritten b67 + anything new
+    # this round) followed by rank 1 (freshest green evidence round 2 —
+    # four rounds old).  25 + 25 = exactly 50 at the start of round 6;
+    # brand-new round-6 registrations displace rank-1 entries (which keep
+    # their round-2 green rows) rather than any never-verified query.
     def rank(name: str) -> int:
-        if name in _CONVERTED_IN_R05 or name in _RETUNED_IN_R05:
+        if name in _RETUNED_IN_R06:
             return 0
+        if name in _DRIVER_GREEN_R05:
+            return 4
         if name in _DRIVER_GREEN_R04:
             return 3
         if name in _DRIVER_GREEN_R03:
             return 2
         if name in _DRIVER_GREEN_R02 or name in _DRIVER_GREEN_R01:
             return 1  # oldest surviving evidence (last verified round 2)
-        return 0  # brand-new in round 5: must land inside the window
+        return 0  # never driver-verified: must land inside the window
 
     idx = {n: i for i, n in enumerate(_REGISTRY)}
     names = sorted(_REGISTRY, key=lambda n: (rank(n), idx[n]))

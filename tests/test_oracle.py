@@ -50,61 +50,67 @@ def test_no_complex_result_columns(spark, sf_dir):
 
 
 def test_driver_window_covers_unchecked_queries():
-    """Round-5 window invariant: the driver's 50-slot CORRECTNESS window must
-    hold (in priority order) the rows-only → oracle conversions (they need a
-    fresh hash-verified driver row) + any brand-new round-5 queries, then the
-    OLDEST surviving evidence (queries last verified in round 2 — three
-    rounds old); the 50 freshly-round-4-verified queries rotate to the back."""
+    """Round-6 window invariant: the driver's 50-slot CORRECTNESS window must
+    hold (in priority order) every query with NO green driver row yet — the
+    24 round-5 late registrations, the rewritten b67, and anything new this
+    round — then the OLDEST surviving evidence (queries whose newest green is
+    round 2, four rounds old); everything r3/r4/r5-verified rotates back."""
     from ps_datalake_spark.registry import (
-        _CONVERTED_IN_R05,
         _DRIVER_GREEN_R01,
         _DRIVER_GREEN_R02,
         _DRIVER_GREEN_R03,
         _DRIVER_GREEN_R04,
-        _RETUNED_IN_R05,
+        _DRIVER_GREEN_R05,
+        _RETUNED_IN_R06,
     )
 
     names = list(SPECS)
     window = set(names[:50])
     ever_green = (
-        _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02 | _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04
+        _DRIVER_GREEN_R01
+        | _DRIVER_GREEN_R02
+        | _DRIVER_GREEN_R03
+        | _DRIVER_GREEN_R04
+        | _DRIVER_GREEN_R05
     )
-    # rank 0: brand-new round-5 queries + conversions + retunes — these have
-    # NO driver evidence (or stale-oracle evidence) and fill the window
-    # first.  Once the session has registered MORE than 50 rank-0 queries,
-    # overflow is unavoidable (the late registrations queue for round 6) —
-    # but then every window slot must hold a rank-0 entry: nothing with
-    # existing driver evidence may displace an unverified query.
-    rank0 = (set(names) - ever_green) | _CONVERTED_IN_R05 | _RETUNED_IN_R05
+    # rank 0: queries with no green driver row (never checked, or red last
+    # round and since rewritten).  Once MORE than 50 rank-0 queries exist,
+    # overflow is unavoidable (late registrations queue for round 7) — but
+    # then every window slot must hold a rank-0 entry: nothing with existing
+    # green evidence may displace an unverified query.
+    rank0 = (set(names) - ever_green) | _RETUNED_IN_R06
     if len(rank0) <= 50:
         assert rank0 <= window, (
-            f"round-5 queries outside window: {sorted(rank0 - window)}"
+            f"never-verified queries outside window: {sorted(rank0 - window)}"
         )
     else:
         assert window <= rank0, (
             f"evidence-bearing queries inside an overflowing window: "
             f"{sorted(window - rank0)}"
         )
-    assert not (window & _DRIVER_GREEN_R04 - _RETUNED_IN_R05), (
-        "fresh r4 greens must rotate to the back"
+    assert not (window & (_DRIVER_GREEN_R05 - _RETUNED_IN_R06)), (
+        "fresh r5 greens must rotate to the back"
     )
-    # queries whose newest evidence is round 2 fill the remaining slots; with
-    # 32 rank-0 entries only 18 of the 28 fit this round — overflow is allowed
-    # ONLY when the window is genuinely full of higher-priority entries, and
-    # never displaced by fresher r3/r4 evidence.
+    # queries whose newest evidence is round 2 fill the remaining slots;
+    # overflow is allowed ONLY when the window is genuinely full of
+    # higher-priority entries, and never displaced by fresher r3/r4/r5
+    # evidence.
     r2_only = (
         (_DRIVER_GREEN_R02 | _DRIVER_GREEN_R01)
         - _DRIVER_GREEN_R03
         - _DRIVER_GREEN_R04
+        - _DRIVER_GREEN_R05
     )
     outside = r2_only - window
     if outside:
         assert len(rank0) + len(r2_only) > 50, (
             f"stale r2 evidence outside a non-full window: {sorted(outside)}"
         )
-        fresher = (_DRIVER_GREEN_R03 | _DRIVER_GREEN_R04) - _RETUNED_IN_R05 - _CONVERTED_IN_R05
+        fresher = (
+            _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04 | _DRIVER_GREEN_R05
+        ) - _RETUNED_IN_R06
         assert not (window & fresher), (
-            "r3/r4-verified queries occupy slots while stale r2 evidence waits"
+            "r3/r4/r5-verified queries occupy slots while stale r2 evidence waits"
         )
 
 
