@@ -139,7 +139,23 @@ def b69_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= _MIN_DF)
         .select("line")
     )
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    # Build-side discipline for the boilerplate anti-join (r5 verdict): the
+    # high-DF set is tiny on any sane crawl slice, but at 100 TB the count of
+    # lines repeated across >=50 documents can outgrow the driver's broadcast
+    # limit.  Gate on the corpus size (the boiler relation scales with the
+    # distinct-repeated-line count, itself bounded by corpus bytes): under
+    # ~64 MB of documents the broadcast is the usual free win; past it, a
+    # keyed shuffle-hash anti-join — identical semantics, the build side is
+    # still only the boiler hash per partition, and the exploded lines
+    # relation shuffles on the same line key the DF aggregation already used.
+    from ._util import table_bytes
+
+    doc_bytes = table_bytes(sf_dir, "documents")
+    if doc_bytes is not None and doc_bytes < 64 << 20:
+        boiler_side = F.broadcast(boiler)
+    else:
+        boiler_side = boiler.hint("shuffle_hash")
+    kept = lines.join(boiler_side, "line", "left_anti")
     per_doc_kept = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.length(

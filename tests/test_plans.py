@@ -244,3 +244,27 @@ def test_session4_pack_plan_shapes(spark, sf_dir):
     assert "Generate" in mau_plan, "rolling MAU must use the explode rewrite"
     bfs_plan = _formatted_plan(SPECS["b61_bfs_hops"].build(spark, sf_dir))
     assert "CartesianProduct" not in bfs_plan
+
+
+def test_line_dedup_anti_join_regimes(spark, sf_dir, monkeypatch):
+    """b69_line_dedup's boilerplate anti-join is size-gated (r5 verdict): a
+    small high-DF set broadcasts; past the gate (100 TB corpus, where the
+    repeated-line set can exceed the driver's broadcast limit) the SAME
+    semantics run as a keyed shuffle-hash anti-join."""
+    import ps_datalake_spark.queries._util as U
+
+    plan = _formatted_plan(SPECS["b69_line_dedup"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "small regime must broadcast the boiler set"
+    )
+
+    real = U.table_bytes
+    monkeypatch.setattr(
+        U,
+        "table_bytes",
+        lambda d, t: (1 << 30) if t == "documents" else real(d, t),
+    )
+    big_plan = _formatted_plan(SPECS["b69_line_dedup"].build(spark, sf_dir))
+    assert "ShuffledHashJoin" in big_plan and "LeftAnti" in big_plan, (
+        "large regime must anti-join via keyed shuffle-hash"
+    )
