@@ -274,3 +274,86 @@ def b70_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tiny_sort(out, "source")
+
+
+_K = 8  # cluster count — bounded, so the centroid relation always broadcasts
+
+
+@query(
+    "b71_kmeans_step",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c AS (SELECT vec_id AS cid, e AS ce FROM q ORDER BY vec_id LIMIT {_K}),
+    d AS (
+      SELECT q.vec_id, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS BIGINT) AS dist
+      FROM q, c
+    ),
+    a AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d) WHERE rn = 1
+    )
+    SELECT a.cid, CAST(gs.i - 1 AS INT) AS dim,
+           CAST(sum(q.e[gs.i]) AS BIGINT) AS sum_e6,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM a JOIN q USING (vec_id) CROSS JOIN generate_series(1, 64) AS gs(i)
+    GROUP BY a.cid, gs.i
+    ORDER BY cid, dim
+    """,
+    tags=("B36", "llm", "curation"),
+    doc="One exact Lloyd step of k-means over the embedding corpus (the "
+    "semantic-clustering stage of corpus curation): components quantised "
+    "to a 1e-6 integer grid, squared-L2 distances to the k seed centroids "
+    "(first k vectors by vec_id) computed as exact BIGINT sums, argmin "
+    "with a deterministic cid tie-break, and the M-step emitted as exact "
+    "per-(cluster, dim) integer sums + member counts.  Scale shape: the "
+    "centroid relation is k rows at ANY corpus size (broadcast), the "
+    "distance/argmin pass is map-side over a k-row nested loop, and the "
+    "only shuffle is the bounded k x dim final aggregate — Lloyd "
+    "iterations are a bounded driver loop over this exact step.",
+)
+def b71_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = T(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000.0).cast("bigint"),
+        ).alias("e"),
+    )
+    cent = (
+        q.orderBy("vec_id")
+        .limit(_K)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    dist = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    ).alias("dist")
+    d = q.crossJoin(F.broadcast(cent)).select("vec_id", "cid", "e", dist)
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", "e")
+    )
+    stats = (
+        assigned.select("cid", F.posexplode("e").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.sum("v").cast("bigint").alias("sum_e6"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+    )
+    return tiny_sort(stats, "cid", "dim")
