@@ -273,6 +273,12 @@ def _build_scaled_dir(sf_dir: str, factor: int = SCALE_FACTOR,
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # Stream the cross-join COPY: with the default preserve_insertion_order
+    # DuckDB buffers the ENTIRE scaled relation before writing — at the
+    # 1000x corpus that is 600M lineitem rows and >100 GB RSS (observed
+    # climbing to the container limit).  Row order is irrelevant here; the
+    # unordered write streams in bounded memory.
+    con.execute("SET preserve_insertion_order=false")
     for t, sql in to_scale.items():
         body = sql.format(
             src=os.path.join(sf_dir, f"{t}.parquet"), n=factor, off=_KEY_OFFSET
