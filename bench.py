@@ -95,15 +95,6 @@ EAGER_BUILDERS = {
     "b64_bm25_topk",
 }
 
-# Builder-inclusive timing under the LIGHT profile: b18_topk's past-the-
-# broadcast-gate path is an adaptive top-k pushdown whose bounded probe jobs
-# (top-N collect + pushed-down IN verification) execute inside build() — a
-# prepared-DataFrame timing would move the real work outside the clock.  The
-# heavy EAGER profile is wrong for it (no persisted pipeline, one simple
-# agg), so it gets its own class.  At headline sf0.1 the broadcast path is
-# taken (customer under the 8 MB gate) and the query stays a lazy plan.
-ADAPTIVE_BUILDERS = {"b18_topk"}
-
 # Queries whose oracle is a VERIFICATION query, not an equivalent-work
 # baseline, excluded from the engine-vs-DuckDB ratio (but still timed on the
 # Spark side):
@@ -591,17 +582,6 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
             _apply_profile(spark, data_dir, cpus, aqe=True)  # restore probe profile
-        elif name in ADAPTIVE_BUILDERS:
-            # light probe profile, but builder-INCLUSIVE timing: the adaptive
-            # top-k pushdown runs its probe jobs inside build() — see
-            # ADAPTIVE_BUILDERS.  Same warmup/draw counts as the lazy path.
-            for _ in range(2 if warmups is None else warmups):
-                _force(build(spark, data_dir))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                _force(build(spark, data_dir))
-                best = min(best, time.perf_counter() - t0)
         else:
             df = build(spark, data_dir)
             # 2 warmups: on a multi-GB scaled dir the FIRST run can be a cold

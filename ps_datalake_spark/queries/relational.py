@@ -1060,52 +1060,27 @@ def b18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_bytes = table_bytes(sf_dir, "customer")
     if cust_bytes is not None and cust_bytes < 8 << 20:
         c = F.broadcast(c)
-        return (
-            c.join(rev, F.col("c_custkey") == F.col("o_custkey"))
-            .select("c_custkey", "revenue")
-            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-            .limit(10)
+    else:
+        # Past the gate, ALSO pre-partition orders by the group key before
+        # the aggregate: each custkey's ~10 orders scatter across every scan
+        # partition, so the default partial aggregate reduces only ~1.3x
+        # while paying for a multi-million-entry hash map per task — after
+        # an explicit hash repartition the keys are co-located and the agg
+        # reduces fully in one pass.  A/B at the probes: 1000x 11.2 s ->
+        # 7.7 s, 100x/10x parity (the narrow-row shuffle costs what the
+        # partial-agg shuffle did).  The adaptive top-k pushdown (top-N of
+        # rev + pushed-down IN verification against customer) was ALSO
+        # measured and REJECTED: the agg dominates at every scale, so
+        # removing the customer exchange saved less than the extra probe
+        # jobs cost (PLANS.md round-6 section).
+        rev = (
+            T(spark, sf_dir, "orders")
+            .select("o_custkey", "o_totalprice")
+            .repartition(F.col("o_custkey"))
+            .groupBy("o_custkey")
+            .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
         )
-
-    # Past the broadcast gate: adaptive top-k pushdown THROUGH the semi-ish
-    # join.  Customer only filters rev to existing keys (c_custkey is the
-    # PK), and filtering an ordered stream preserves its order — so the
-    # global answer is the first 10 survivors of rev's own top-N.  Take
-    # top-N of rev (TakeOrderedAndProject over the partially-combined
-    # groups — the customer-side exchange and its multi-million-key hash
-    # build NEVER run), verify the <=N candidate keys against customer with
-    # a pushed-down IN scan, and grow N 10x only if FK orphans ate into the
-    # top 10.  Exact for ANY data: orphan-heavy inputs (top-10k all orphans)
-    # fall back to the keyed shuffle-hash join.  Driver state is bounded at
-    # 10k rows — the same bounded-adaptive-replan pattern as IVF/BFS.  At
-    # the 100x probe this took the query from 0.74 s to ~the agg floor;
-    # at 100 TB it removes the entire customer shuffle (the 2nd exchange)
-    # from the plan.
-    k, n = 10, 10
-    while n <= 10_000:
-        cand = rev.orderBy(F.col("revenue").desc(), F.col("o_custkey")).limit(n)
-        rows = cand.collect()
-        keys = [r["o_custkey"] for r in rows]
-        kept = {
-            r["c_custkey"]
-            for r in c.where(F.col("c_custkey").isin(keys)).collect()
-        }
-        survivors = [r for r in rows if r["o_custkey"] in kept]
-        if len(survivors) >= k or len(rows) < n:
-            import pyspark.sql.types as _t
-
-            schema = _t.StructType(
-                [
-                    _t.StructField("c_custkey", cand.schema["o_custkey"].dataType),
-                    _t.StructField("revenue", cand.schema["revenue"].dataType),
-                ]
-            )
-            out = spark.createDataFrame(
-                [(r["o_custkey"], r["revenue"]) for r in survivors[:k]], schema
-            )
-            return out.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        n *= 10
-    c = c.hint("shuffle_hash")
+        c = c.hint("shuffle_hash")
     return (
         c.join(rev, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "revenue")

@@ -270,11 +270,12 @@ def test_line_dedup_anti_join_regimes(spark, sf_dir, monkeypatch):
     )
 
 
-def test_topk_adaptive_pushdown_regime(spark, sf_dir, monkeypatch):
-    """b18_topk past the broadcast gate (r5 verdict #6): the adaptive top-k
-    pushdown must return EXACTLY the broadcast-join path's rows — the
-    customer relation only filters, so the first 10 verified survivors of
-    rev's own top-N are the global answer."""
+def test_topk_large_regime(spark, sf_dir, monkeypatch):
+    """b18_topk past the broadcast gate (r5 verdict #6): the large regime
+    must return EXACTLY the broadcast-join path's rows, plan the keyed
+    shuffle-hash join, and pre-partition orders by the group key before the
+    aggregate (the scattered-key partial agg reduces only ~1.3x at the
+    1000x probe; co-locating first measured 11.2 s -> 7.7 s there)."""
     import ps_datalake_spark.queries._util as U
 
     base = [tuple(r) for r in SPECS["b18_topk"].build(spark, sf_dir).collect()]
@@ -284,31 +285,27 @@ def test_topk_adaptive_pushdown_regime(spark, sf_dir, monkeypatch):
         "table_bytes",
         lambda d, t: (1 << 30) if t == "customer" else real(d, t),
     )
-    adaptive = [
-        tuple(r) for r in SPECS["b18_topk"].build(spark, sf_dir).collect()
-    ]
-    assert adaptive == base
-
-
-def test_topk_adaptive_orphan_growth(spark, tmp_path, monkeypatch):
-    """Orphan-heavy input: every top-10 revenue key lacks a customer row, so
-    the adaptive path must GROW its candidate window and still return the
-    exact answer (keys 15..6 here — the survivors after 25 orphans)."""
-    import ps_datalake_spark.queries._util as U
-
-    d = str(tmp_path)
-    spark.createDataFrame(
-        [(i,) for i in range(1, 16)], "c_custkey bigint"
-    ).write.parquet(f"{d}/customer.parquet")
-    spark.createDataFrame(
-        [(k, float(1000 + k)) for k in range(1, 41)],
-        "o_custkey bigint, o_totalprice double",
-    ).write.parquet(f"{d}/orders.parquet")
-    real = U.table_bytes
-    monkeypatch.setattr(
-        U,
-        "table_bytes",
-        lambda dd, t: (1 << 30) if t == "customer" else real(dd, t),
+    big = SPECS["b18_topk"].build(spark, sf_dir)
+    assert [tuple(r) for r in big.collect()] == base
+    plan = _formatted_plan(big)
+    assert "ShuffledHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(o_custkey" in plan, (
+        "orders must be key-partitioned below the aggregate"
     )
-    out = SPECS["b18_topk"].build(spark, d).collect()
-    assert [r["c_custkey"] for r in out] == list(range(15, 5, -1))
+
+
+def test_r6_pack_plan_shapes(spark, sf_dir):
+    """Round-6 pack scale shapes: the DSIR ratio table (bounded at 65536
+    rows) must broadcast onto the postings; the k-means distance pass is an
+    intentional k-row broadcast nested loop (bounded by k, never a
+    cartesian over the corpus)."""
+    plan = _formatted_plan(SPECS["b70_dsir_importance"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "ratio table must broadcast"
+
+    kplan = _formatted_plan(SPECS["b71_kmeans_step"].build(spark, sf_dir))
+    assert "CartesianProduct" not in kplan
+    assert "BroadcastNestedLoopJoin" in kplan, (
+        "centroid distance pass must be the k-row broadcast nested loop"
+    )
