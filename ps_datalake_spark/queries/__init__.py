@@ -24,4 +24,5 @@ from . import curation_pack  # noqa: F401
 from . import tokenize_pack  # noqa: F401
 from . import boilerplate_pack  # noqa: F401
 from . import assembly_pack  # noqa: F401
+from . import semantic_pack  # noqa: F401
 from . import lake_ops  # noqa: F401

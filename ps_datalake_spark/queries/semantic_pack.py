@@ -1,0 +1,341 @@
+"""Round-6 semantic-curation operators: SemDeDup-style cluster-pruned
+embedding dedup, per-domain unigram KL divergence, and OOV-rate filtering
+against a bounded frequency vocabulary — three further stages of a 100 TB
+pre-training curation pipeline.
+
+Scale design notes (100 TB):
+  * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): embeddings are clustered
+    first, and the O(n²) cosine comparison happens only WITHIN a cluster —
+    the pairwise cost is Σ|cluster|², never corpus².  The cluster pass here
+    is one broadcast nested-loop over a bounded k-row centroid relation
+    (identical shape to b71_kmeans_step); the within-cluster pair join
+    shuffles both sides on the cluster id, so each cluster's quadratic work
+    is local to one partition.  At 100 TB k grows to ~√n and the per-cluster
+    populations stay bounded.
+  * unigram KL: both distributions reduce to one bounded-width aggregate
+    over the token postings (map-side combined); the per-(source, token)
+    relation joins the global token relation on the token key.  Per-term
+    log-ratios are quantised onto an exact 1e-6 integer grid BEFORE the
+    weighted sum (the b70 DSIR discipline), so the divergence is an
+    associative BIGINT sum — deterministic under any partitioning.
+  * OOV rate: the vocabulary is a BOUNDED relation (top 1000 tokens) at any
+    corpus size, so membership is a broadcast left join — no shuffle of the
+    posting relation at all.
+
+Determinism: every count is an exact integer; each ln() receives an
+identical IEEE double on both engines (a ratio of exact integers), is
+quantised to a 1e-6-grid BIGINT, and only integers are summed thereafter.
+The cosine threshold test is exact integer arithmetic throughout —
+dot² · 10⁴ ≥ τ²·10⁴ · |a|² · |b|² evaluated in DECIMAL(38,0)/HUGEINT, no
+floating point at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ._util import T, tiny_sort
+
+_K = 8          # SemDeDup cluster count (bounded => centroids broadcast)
+_TAU2_E4 = 1225  # cosine threshold τ=0.35 → τ²·10000 = 1225
+# (the synthetic embedding fixture is near-isotropic — max pairwise cosine
+#  ≈ 0.51, p99 ≈ 0.29 — so a web-scale τ of 0.9 would never fire; 0.35
+#  exercises the prune on a meaningful fraction of within-cluster pairs)
+_V = 16         # OOV vocabulary size (fixture vocab is 31 distinct
+                # tokens; production V ~1e5 is equally bounded/broadcast)
+
+
+def _quantised(emb_col):
+    """Embedding components on the exact 1e-6 integer grid (b71 discipline)."""
+    return F.transform(
+        emb_col, lambda x: F.round(x.cast("double") * 1000000.0).cast("bigint")
+    )
+
+
+@query(
+    "b72_semdedup",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c AS (SELECT vec_id AS cid, e AS ce FROM q ORDER BY vec_id LIMIT {_K}),
+    d AS (
+      SELECT q.vec_id, c.cid, q.e,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i]))) AS BIGINT) AS dist
+      FROM q, c
+    ),
+    a AS (
+      SELECT vec_id, cid, e FROM (
+        SELECT vec_id, cid, e,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    n AS (
+      SELECT vec_id, cid, e,
+             CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nrm
+      FROM a
+    ),
+    dup AS (
+      SELECT DISTINCT vec_id FROM (
+        SELECT b.vec_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> a.e[i] * b.e[i])) AS BIGINT) AS dot,
+               a.nrm AS a_nrm, b.nrm AS b_nrm
+        FROM n AS a JOIN n AS b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id)
+      WHERE dot > 0
+        AND CAST(dot AS HUGEINT) * dot * 10000
+            >= {_TAU2_E4} * CAST(a_nrm AS HUGEINT) * b_nrm
+    )
+    SELECT n.cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (dup.vec_id IS NOT NULL) AS BIGINT) AS n_dropped,
+           CAST(sum(n.vec_id) FILTER (dup.vec_id IS NULL) AS BIGINT)
+             AS kept_checksum
+    FROM n LEFT JOIN dup ON n.vec_id = dup.vec_id
+    GROUP BY n.cid ORDER BY n.cid
+    """,
+    tags=("B36", "llm", "curation"),
+    doc="SemDeDup semantic deduplication: embeddings quantised to an exact "
+    "1e-6 integer grid are assigned to the nearest of k seed centroids "
+    "(exact BIGINT L2, deterministic tie-break — the b71_kmeans_step "
+    "cluster pass), then WITHIN each cluster a vector is dropped when any "
+    "lower-vec_id member has cosine similarity > 0.35 — the greedy "
+    "keep-first variant of the paper's per-cluster pruning.  The cosine "
+    "test is exact integer arithmetic (dot²·10⁴ ≥ 1225·|a|²·|b|² in "
+    "DECIMAL(38,0)), so no float enters the decision.  Pairwise cost is "
+    "Σ|cluster|², never corpus², and the pair join shuffles on the cluster "
+    "id so each cluster's quadratic work is partition-local.",
+)
+def b72_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = T(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    q = emb.select("vec_id", _quantised(F.col("embedding")).alias("e"))
+    cent = (
+        q.orderBy("vec_id")
+        .limit(_K)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    dist = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    ).alias("dist")
+    assigned = (
+        q.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", "e", dist)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("dist", "cid")),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cid",
+            "e",
+            F.aggregate(
+                F.transform("e", lambda x: x * x),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("nrm"),
+        )
+    )
+    a = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("e").alias("a_e"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("b_e"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a_e", "b_e", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    ).alias("dot")
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("cid", "a_id", "b_id", "a_nrm", "b_nrm", dot)
+    )
+    dup = (
+        pairs.where(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("decimal(38,0)") * F.col("dot") * 10000
+                >= F.lit(_TAU2_E4)
+                * F.col("a_nrm").cast("decimal(38,0)")
+                * F.col("b_nrm")
+            )
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    out = (
+        assigned.join(dup, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.count(F.when(F.col("is_dup"), 1)).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("is_dup").isNull(), F.col("vec_id")))
+            .cast("bigint")
+            .alias("kept_checksum"),
+        )
+    )
+    return tiny_sort(out, "cid")
+
+
+@query(
+    "b72_domain_kl",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sc AS (SELECT source, w, count(*) AS c_sw FROM toks GROUP BY source, w),
+    gc AS (SELECT w, count(*) AS c_w FROM toks GROUP BY w),
+    ns AS (SELECT source, sum(c_sw) AS n_s FROM sc GROUP BY source),
+    n AS (SELECT sum(c_w) AS n FROM gc),
+    terms AS (
+      SELECT sc.source, sc.c_sw,
+             CAST(round(ln((CAST(sc.c_sw AS DOUBLE) * n.n)
+                           / (CAST(ns.n_s AS DOUBLE) * gc.c_w))
+                        * 1000000.0) AS BIGINT) AS k_e6
+      FROM sc JOIN gc USING (w) JOIN ns USING (source) CROSS JOIN n
+    )
+    SELECT terms.source,
+           CAST(ns.n_s AS BIGINT) AS n_tokens,
+           CAST(round(CAST(sum(terms.c_sw * terms.k_e6) AS DOUBLE) / ns.n_s)
+                AS BIGINT) AS kl_e6
+    FROM terms JOIN ns ON terms.source = ns.source
+    GROUP BY terms.source, ns.n_s
+    ORDER BY terms.source
+    """,
+    tags=("B37", "llm", "curation"),
+    doc="Per-domain unigram KL divergence KL(P_source || P_corpus) — the "
+    "domain-distinctiveness score a mixture designer reads before setting "
+    "sampling weights.  Each term's log probability ratio "
+    "ln(c_sw·N / (N_s·c_w)) is a function of four exact integers, "
+    "quantised to a 1e-6-grid BIGINT before the weighted sum, so the "
+    "divergence is an associative integer sum divided once at the end.  "
+    "Both unigram relations are map-side-combined aggregates over the "
+    "token postings; the term join is keyed on the token.",
+)
+def b72_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    sc = toks.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    gc = toks.groupBy("w").agg(F.count("*").alias("c_w"))
+    ns = sc.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    n = gc.agg(F.sum("c_w").alias("n"))
+    terms = (
+        sc.join(gc, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "c_sw",
+            "n_s",
+            F.round(
+                F.log(
+                    (F.col("c_sw").cast("double") * F.col("n"))
+                    / (F.col("n_s").cast("double") * F.col("c_w"))
+                )
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("k_e6"),
+        )
+    )
+    out = (
+        terms.groupBy("source", "n_s")
+        .agg(F.sum(F.col("c_sw") * F.col("k_e6")).alias("s_e6"))
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            F.round(F.col("s_e6").cast("double") / F.col("n_s"))
+            .cast("bigint")
+            .alias("kl_e6"),
+        )
+    )
+    return tiny_sort(out, "source")
+
+
+@query(
+    "b72_oov_rate",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM toks GROUP BY w
+        ORDER BY c DESC, w LIMIT {_V})
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (vocab.w IS NULL) AS BIGINT) AS n_oov,
+           CAST(round(CAST(count(*) FILTER (vocab.w IS NULL) AS DOUBLE)
+                      * 1000000.0 / count(*)) AS BIGINT) AS oov_ppm
+    FROM toks LEFT JOIN vocab USING (w)
+    GROUP BY doc_id
+    """,
+    tags=("B37", "llm", "curation"),
+    doc="Out-of-vocabulary rate per document against the corpus's top-V "
+    "frequency vocabulary (ties broken by token string) — the cheap "
+    "garbled-text / wrong-language filter that runs before expensive "
+    "model-based scoring.  The vocabulary is a bounded relation at any "
+    "corpus size, so membership is a broadcast left join over the token "
+    "postings: no shuffle of the corpus-proportional side at all.  All "
+    "counts exact integers; the ppm ratio is one double division of "
+    "identical integers on both engines.",
+)
+def b72_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_V)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    out = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") * 1000000.0 / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("oov_ppm"),
+        )
+    )
+    return out
