@@ -1,7 +1,8 @@
 """Round-6 semantic-curation operators: SemDeDup-style cluster-pruned
-embedding dedup, per-domain unigram KL divergence, and OOV-rate filtering
-against a bounded frequency vocabulary — three further stages of a 100 TB
-pre-training curation pipeline.
+embedding dedup, per-domain unigram KL divergence, OOV-rate filtering
+against a bounded frequency vocabulary, exact substring (n-gram span)
+duplication metrics, and per-dimension embedding standardisation — five
+further stages of a 100 TB pre-training curation pipeline.
 
 Scale design notes (100 TB):
   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -22,6 +23,17 @@ Scale design notes (100 TB):
   * OOV rate: the vocabulary is a BOUNDED relation (top 1000 tokens) at any
     corpus size, so membership is a broadcast left join — no shuffle of the
     posting relation at all.
+  * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): the w-token shingle postings shuffle once on
+    the shingle key; per-key work is bounded by document frequency, never
+    corpus².  At 100 TB the shingle string is first collapsed to an 8-byte
+    xxhash64 so the shuffle carries fixed-width keys (here the exact string
+    is kept so the DuckDB oracle groups on identical values).
+  * z-score standardisation: the statistics relation is one bounded-width
+    aggregate (64 rows — map-side combined sums/sum-of-squares in exact
+    DECIMAL), broadcast back over the corpus — the apply pass is
+    shuffle-free.  sqrt and division are IEEE-correctly-rounded, so
+    identical exact-integer moments give identical doubles on both engines.
 
 Determinism: every count is an exact integer; each ln() receives an
 identical IEEE double on both engines (a ratio of exact integers), is
@@ -336,6 +348,165 @@ def b72_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_oov").cast("double") * 1000000.0 / F.col("n_tokens"))
             .cast("bigint")
             .alias("oov_ppm"),
+        )
+    )
+    return out
+
+
+_W = 5  # shingle width (production w≈50 tokens; fixture docs are 20-70
+        # tokens, and w=5 duplicates ~9% of shingles — non-degenerate)
+
+
+@query(
+    "b73_substring_dedup",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(ws[i:i+{_W - 1}], ' ') AS g
+      FROM toks, unnest(range(1, len(ws) - {_W} + 2)) AS t(i)
+      WHERE len(ws) >= {_W}
+    ),
+    df AS (SELECT g, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (df.n_docs > 1) AS BIGINT) AS n_dup,
+           CAST(round(CAST(count(*) FILTER (df.n_docs > 1) AS DOUBLE)
+                      * 1000000.0 / count(*)) AS BIGINT) AS dup_ppm
+    FROM sh JOIN df USING (g)
+    GROUP BY sh.doc_id
+    """,
+    tags=("B34", "llm", "curation"),
+    doc="Exact substring duplication metrics (Lee et al. 2022): every "
+    f"{_W}-token shingle of every document is posted, shingles occurring "
+    "in more than one document are marked, and each document reports its "
+    "duplicated-span fraction — the signal the dedup pass uses to cut "
+    "verbatim-repeated boilerplate out of pre-training text.  One shuffle "
+    "on the shingle key; per-key work bounded by document frequency.  At "
+    "production scale the shingle collapses to xxhash64 first so the "
+    "shuffle carries 8-byte keys.",
+)
+def b73_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+    )
+    sh = (
+        toks.where(F.size("ws") >= _W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (_W - 1)),
+                    lambda i: F.array_join(F.slice("ws", i, _W), " "),
+                )
+            ).alias("g"),
+        )
+    )
+    df = sh.groupBy("g").agg(F.count_distinct("doc_id").alias("n_docs"))
+    out = (
+        sh.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("n_docs") > 1, 1)).cast("bigint").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.round(F.col("n_dup").cast("double") * 1000000.0 / F.col("n_shingles"))
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+    )
+    return out
+
+
+@query(
+    "b73_zscore_normalize",
+    oracle=r"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    d AS (
+      SELECT q.vec_id, t.i AS dim, q.e[t.i] AS v
+      FROM q, unnest(range(1, len(q.e) + 1)) AS t(i)
+    ),
+    s AS (
+      SELECT dim, count(*) AS n, sum(v) AS s1,
+             sum(CAST(v AS HUGEINT) * v) AS s2
+      FROM d GROUP BY dim
+    ),
+    st AS (
+      SELECT dim,
+             CAST(round(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS mean_e6,
+             CAST(round(sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1
+                                  AS DOUBLE)) / n) AS BIGINT) AS std_e6
+      FROM s
+    )
+    SELECT d.vec_id,
+           CAST(sum(CAST(round((d.v - st.mean_e6) * 10000.0 / st.std_e6)
+                         AS BIGINT)) AS BIGINT) AS z_sum_e4,
+           CAST(min(CAST(round((d.v - st.mean_e6) * 10000.0 / st.std_e6)
+                         AS BIGINT)) AS BIGINT) AS z_min_e4,
+           CAST(max(CAST(round((d.v - st.mean_e6) * 10000.0 / st.std_e6)
+                         AS BIGINT)) AS BIGINT) AS z_max_e4
+    FROM d JOIN st USING (dim)
+    GROUP BY d.vec_id
+    """,
+    tags=("B36", "llm", "curation"),
+    doc="Per-dimension z-score standardisation of the embedding corpus — "
+    "the feature-scaling pass before clustering or linear probes.  "
+    "Components are quantised to the exact 1e-6 integer grid; per-dimension "
+    "moments are exact DECIMAL sums (map-side combined, 64-row result); "
+    "mean and std are single IEEE-correctly-rounded ops on identical exact "
+    "integers, so both engines see bit-identical statistics.  The apply "
+    "pass joins the broadcast 64-row stats relation — shuffle-free over "
+    "the corpus — and reports per-vector checksum/min/max of the "
+    "1e-4-quantised z-scores.",
+)
+def b73_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    q = emb.select("vec_id", _quantised(F.col("embedding")).alias("e"))
+    d = q.select("vec_id", F.posexplode("e").alias("dim", "v"))
+    s = d.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
+    )
+    st = s.select(
+        "dim",
+        F.round(F.col("s1").cast("double") / F.col("n"))
+        .cast("bigint")
+        .alias("mean_e6"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("s2")
+                    - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+                ).cast("double")
+            )
+            / F.col("n")
+        )
+        .cast("bigint")
+        .alias("std_e6"),
+    )
+    z = F.round(
+        (F.col("v") - F.col("mean_e6")) * F.lit(10000.0) / F.col("std_e6")
+    ).cast("bigint")
+    out = (
+        d.join(F.broadcast(st), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(z).cast("bigint").alias("z_sum_e4"),
+            F.min(z).cast("bigint").alias("z_min_e4"),
+            F.max(z).cast("bigint").alias("z_max_e4"),
         )
     )
     return out
