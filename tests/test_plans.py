@@ -309,3 +309,35 @@ def test_r6_pack_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in kplan, (
         "centroid distance pass must be the k-row broadcast nested loop"
     )
+
+
+def test_semantic_pack_plans(spark, sf_dir):
+    """Round-6 semantic-curation pack plan properties: no unbounded
+    cartesians anywhere (the only nested-loop joins are against BOUNDED
+    broadcast relations: k centroids / 1-row corpus total), the OOV
+    vocabulary and z-score stats attach via BroadcastHashJoin (the
+    corpus-proportional side never shuffles for them), and every query
+    stays JVM-side (zero Python UDFs)."""
+    for name in (
+        "b72_semdedup",
+        "b72_domain_kl",
+        "b72_oov_rate",
+        "b73_substring_dedup",
+        "b73_zscore_normalize",
+    ):
+        plan = _formatted_plan(SPECS[name].build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    for name in ("b72_oov_rate", "b73_zscore_normalize"):
+        plan = _formatted_plan(SPECS[name].build(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+    # the SemDeDup pair join is keyed on the cluster id — a shuffle/merge
+    # join, never a nested loop over the corpus (the only nested-loop joins
+    # are the k-row broadcast centroid passes, which the plan repeats once
+    # per reuse of the assignment subtree)
+    plan = _formatted_plan(SPECS["b72_semdedup"].build(spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        # every nested-loop site joins the bounded centroid build side
+        assert "BuildRight" in frag.split("\n", 2)[0] or "cid" in frag[:400], frag[:200]
