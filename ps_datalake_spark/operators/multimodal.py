@@ -526,3 +526,96 @@ def audio_features(pcm_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return pcm_df.mapInPandas(_features, AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_MAGIC = b"PSV1"
+VIDEO_SCHEMA = "id bigint, video binary, n_frames bigint"
+VIDEO_FEATURES_SCHEMA = (
+    "id bigint, n_bytes bigint, width bigint, height bigint, n_frames bigint, "
+    "n_sampled bigint, luma_sum bigint, motion_sum bigint"
+)
+
+
+def synth_video(ids: DataFrame, id_col: str = "id") -> DataFrame:
+    """Synthesize a deterministic raw-video container per id.
+
+    Container layout (the 'proprietary video container' case of the brief:
+    the CONTENT is a closed-form integer function so a SQL oracle can verify
+    the decode, but the byte-level plumbing — header parse, frame seek,
+    pixel extraction — is the real thing):
+
+        magic 'PSV1' (4) | width u16-LE | height u16-LE | n_frames u32-LE |
+        fps u16-LE | 2 pad bytes | n_frames raw 8-bit grayscale frames
+
+    Frame t's pixel (x, y) = (id*7 + t*13 + x*5 + y*3) % 256 — every derived
+    feature is exact integer arithmetic. Dimensions vary per id
+    (w = 8 + id%9, h = 8 + (id*3)%9, n = 12 + id%19) so reshape bugs can't
+    hide behind a fixed geometry.
+    """
+    import struct
+
+    import numpy as np
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "video": [], "n_frames": []}
+            for i in pdf["id"]:
+                i = int(i)
+                w, h, n = 8 + i % 9, 8 + (i * 3) % 9, 12 + i % 19
+                t = np.arange(n, dtype=np.int64)[:, None, None]
+                y = np.arange(h, dtype=np.int64)[None, :, None]
+                x = np.arange(w, dtype=np.int64)[None, None, :]
+                px = ((i * 7 + t * 13 + x * 5 + y * 3) % 256).astype(np.uint8)
+                header = VIDEO_MAGIC + struct.pack("<HHIH2x", w, h, n, 24)
+                out["id"].append(i)
+                out["video"].append(header + px.tobytes())
+                out["n_frames"].append(n)
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col).cast("long").alias("id")).mapInPandas(
+        _synth, VIDEO_SCHEMA
+    )
+
+
+def video_features(video_df: DataFrame, every_nth: int = 5) -> DataFrame:
+    """Parse the PSV1 container and extract frame-sampled features.
+
+    Real byte-level decode per row: header unpack, np.frombuffer over the
+    frame payload, reshape to (n_frames, h, w), then sample every
+    ``every_nth``-th frame (frames[::k] — the decode/frame-sample stage of
+    a video ingestion pipeline). Features are exact integers: luma_sum =
+    Σ sampled pixel values, motion_sum = Σ |frame_sum[j+1] - frame_sum[j]|
+    over consecutive SAMPLED frames; n_bytes proves the pack/parse
+    round-trip against the header geometry.
+    """
+    import struct
+
+    import numpy as np
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "id": [], "n_bytes": [], "width": [], "height": [],
+                "n_frames": [], "n_sampled": [], "luma_sum": [], "motion_sum": [],
+            }
+            for i, raw in zip(pdf["id"], pdf["video"]):
+                buf = bytes(raw)
+                if buf[:4] != VIDEO_MAGIC:
+                    raise ValueError(f"bad video magic for id={i}")
+                w, h, n, _fps = struct.unpack_from("<HHIH", buf, 4)
+                frames = np.frombuffer(buf, dtype=np.uint8, offset=16)
+                if frames.size != n * h * w:
+                    raise ValueError(f"payload/header mismatch for id={i}")
+                sampled = frames.reshape(n, h, w)[::every_nth].astype(np.int64)
+                fsums = sampled.sum(axis=(1, 2))
+                out["id"].append(int(i))
+                out["n_bytes"].append(len(buf))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["n_frames"].append(int(n))
+                out["n_sampled"].append(int(sampled.shape[0]))
+                out["luma_sum"].append(int(fsums.sum()))
+                out["motion_sum"].append(int(np.abs(np.diff(fsums)).sum()))
+            yield pd.DataFrame(out)
+
+    return video_df.mapInPandas(_features, VIDEO_FEATURES_SCHEMA)

@@ -1412,3 +1412,71 @@ def b39_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("mean_b", 6).alias("mean_b"),
         dround("top_r", 6).alias("top_r"),
     ).orderBy("id")
+
+
+@query(
+    "b74_video_frames",
+    oracle="""
+    WITH par AS (
+      SELECT vec_id AS id,
+             8 + vec_id % 9 AS w,
+             8 + (vec_id * 3) % 9 AS h,
+             12 + vec_id % 19 AS n
+      FROM embeddings WHERE vec_id < 100
+    ),
+    fr AS (SELECT id, w, h, n, unnest(range(0, n, 5)) AS t FROM par),
+    fs AS (
+      SELECT f.id, f.w, f.h, f.n, f.t,
+             sum((f.id * 7 + f.t * 13 + xs.x * 5 + ys.y * 3) % 256) AS fsum
+      FROM fr f, unnest(range(0, f.w)) AS xs(x), unnest(range(0, f.h)) AS ys(y)
+      GROUP BY f.id, f.w, f.h, f.n, f.t
+    ),
+    st AS (
+      SELECT id, w, h, n, t, fsum,
+             lead(fsum) OVER (PARTITION BY id ORDER BY t) AS nxt
+      FROM fs
+    )
+    SELECT id,
+           CAST(16 + n * w * h AS BIGINT) AS n_bytes,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(fsum) AS BIGINT) AS luma_sum,
+           CAST(coalesce(sum(abs(nxt - fsum)), 0) AS BIGINT) AS motion_sum,
+           round(CAST(sum(fsum) AS DOUBLE) / (count(*) * w * h), 6) AS mean_luma
+    FROM st GROUP BY id, w, h, n
+    """,
+    tags=("B39", "llm", "multimodal", "video"),
+    doc="Video-modality plumbing: a deterministic raw-video container per id "
+    "(magic + LE header + n raw 8-bit grayscale frames whose pixels are a "
+    "closed-form integer function) is PACKED into a real binary column by "
+    "one Arrow-batched mapInPandas and PARSED by a second — header unpack, "
+    "np.frombuffer, (n, h, w) reshape, frames[::5] sampling — the decode/"
+    "frame-sample stage of a video ingestion pipeline (brief: stub the "
+    "codec, keep the schema/partitioning/batch shape real).  Features are "
+    "exact integers (sampled-luma sum, inter-sampled-frame motion sum) plus "
+    "one double division; n_bytes proves the byte-level round-trip against "
+    "the header geometry.  Scales embarrassingly: blobs never shuffle, "
+    "features are one narrow map pass.",
+)
+def b74_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = T(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    video = M.synth_video(ids, "vec_id")
+    feats = M.video_features(video, every_nth=5)
+    out = feats.select(
+        "id",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        "n_sampled",
+        "luma_sum",
+        "motion_sum",
+        dround(
+            F.col("luma_sum").cast("double")
+            / (F.col("n_sampled") * F.col("width") * F.col("height")),
+            6,
+        ).alias("mean_luma"),
+    )
+    return tiny_sort(out, "id")

@@ -266,3 +266,48 @@ def test_audio_pcm_roundtrip_properties(spark):
         assert r["peak"] == int(np.abs(s).max())
         assert r["zero_crossings"] == int((s[:-1] * s[1:] < 0).sum())
         assert r["sample_sum"] == int(s.sum())
+
+
+def test_video_container_roundtrip_and_errors(spark):
+    """PSV1 pack/parse round-trip invariants plus the two corruption paths
+    (bad magic, payload/header mismatch) — the decode must FAIL LOUDLY on a
+    torn blob, never mis-reshape silently."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ps_datalake_spark.operators import multimodal as M
+
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 25).select(F.col("id").alias("vec_id"))
+    feats = M.video_features(M.synth_video(ids, "vec_id"), every_nth=5).collect()
+    assert len(feats) == 25
+    for r in feats:
+        w, h, n = 8 + r.id % 9, 8 + (r.id * 3) % 9, 12 + r.id % 19
+        assert (r.width, r.height, r.n_frames) == (w, h, n)
+        assert r.n_bytes == 16 + n * w * h
+        assert r.n_sampled == (n + 4) // 5
+        # sampled mean luma stays inside the pixel range
+        assert 0 <= r.luma_sum <= 255 * r.n_sampled * w * h
+        assert r.motion_sum >= 0
+
+    # direct (non-Spark) corruption paths through the same batch fn
+    import pandas as pd
+
+    good = M.VIDEO_MAGIC + struct.pack("<HHIH2x", 2, 2, 1, 24) + bytes(4)
+    bad_magic = b"XXXX" + good[4:]
+    torn = good[:-2]  # payload shorter than header claims
+
+    def run(buf):
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [0], "video": [buf], "n_frames": [1]})
+        )
+        return M.video_features(df).collect()
+
+    assert run(good)[0].luma_sum == 0
+    with pytest.raises(Exception, match="magic"):
+        run(bad_magic)
+    with pytest.raises(Exception, match="mismatch"):
+        run(torn)
