@@ -176,34 +176,61 @@ def b70_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b70_memorization_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(toks, i + j) for j in range(8)]
-                    ),
-                )
-            )
-        ).alias("g"),
+    # materialize the token array as a COLUMN before the n-gram transform:
+    # 8 element_at calls over the raw split() expression re-ran the regex
+    # split per element — O(tokens^2 x 8) per document, unbounded at 10x
+    # sf0.1 (caught by the r6 scale re-measure)
+    tw = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
     )
-    df_counts = grams.groupBy("g").agg(F.count("*").alias("n_docs"))
-    per_doc = (
-        grams.join(df_counts, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.count(F.when(F.col("n_docs") >= 2, 1)).cast("bigint").alias("n_dup"),
+    # generate the per-doc-distinct gram postings ONCE (the b64_bm25
+    # single-materialization discipline): all three consumers read the
+    # checkpointed relation instead of re-deriving the grams per branch
+    grams = (
+        tw.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size("ws") - 7, F.lit(0))),
+                        lambda i: F.array_join(F.slice("ws", i, 8), " "),
+                    )
+                )
+            ).alias("g"),
         )
+        .localCheckpoint(eager=False)
+    )
+    totals = grams.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    # grams are per-doc distinct, so cross-document occurrence == min(doc)
+    # != max(doc) — a plain min/max aggregate that combines map-side,
+    # instead of a count-per-gram relation joined back over every posting.
+    # The dup-gram relation is CORPUS-PROPORTIONAL: it must never broadcast
+    # (a size misestimate OOMs the driver at 10x sf0.1 — the b69
+    # broadcast-limit bug class); shuffle_hash keeps the per-key build
+    # bounded by the partition, not the corpus.
+    dupset = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
+        .select("g")
+    )
+    ndup = (
+        grams.join(dupset.hint("shuffle_hash"), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_dup"))
+    )
+    per_doc = (
+        totals.join(ndup, "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
-            "n_dup",
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
             F.round(
-                F.col("n_dup").cast("double") * 1000000.0 / F.col("n_grams")
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                * 1000000.0
+                / F.col("n_grams")
             )
             .cast("bigint")
             .alias("dup_ppm"),

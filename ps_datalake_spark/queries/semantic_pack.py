@@ -252,8 +252,17 @@ def b72_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
     )
-    sc = toks.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
-    gc = toks.groupBy("w").agg(F.count("*").alias("c_w"))
+    # tokenize + aggregate ONCE (the b64_bm25 discipline): the per-(source,
+    # token) counts are bounded by |sources| x |vocab|, so every downstream
+    # relation (global token counts, per-source totals, the corpus total)
+    # derives from this checkpointed relation instead of re-tokenizing the
+    # corpus once per consumer branch — one pass over 100 TB, not four
+    sc = (
+        toks.groupBy("source", "w")
+        .agg(F.count("*").alias("c_sw"))
+        .localCheckpoint(eager=False)
+    )
+    gc = sc.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
     ns = sc.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
     n = gc.agg(F.sum("c_w").alias("n"))
     terms = (
@@ -392,10 +401,12 @@ def b73_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
-    )
+    ).where(F.size("ws") >= _W)
+    # generate the shingle postings ONCE (the b64_bm25 single-
+    # materialization discipline): three consumers read the checkpointed
+    # relation instead of re-tokenizing the corpus per branch
     sh = (
-        toks.where(F.size("ws") >= _W)
-        .select(
+        toks.select(
             "doc_id",
             F.explode(
                 F.transform(
@@ -404,20 +415,41 @@ def b73_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
+        .localCheckpoint(eager=False)
     )
-    df = sh.groupBy("g").agg(F.count_distinct("doc_id").alias("n_docs"))
-    out = (
-        sh.join(df, "g")
+    # per-doc totals need no join at all: every position is a shingle
+    totals = toks.select(
+        "doc_id", (F.size("ws") - (_W - 1)).cast("bigint").alias("n_shingles")
+    )
+    # cross-document occurrence == min(doc) != max(doc): a plain min/max
+    # aggregate that combines map-side, instead of count_distinct's
+    # expand-to-(g,doc) two-phase plan that shuffles every posting row.
+    # The dup-shingle relation is CORPUS-PROPORTIONAL: it must never
+    # broadcast (a size misestimate OOMs the driver at 10x sf0.1 — the b69
+    # broadcast-limit bug class); shuffle_hash keeps the per-key build
+    # bounded by the partition, not the corpus.
+    dupset = (
+        sh.groupBy("g")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
+        .select("g")
+    )
+    ndup = (
+        sh.join(dupset.hint("shuffle_hash"), "g")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_shingles"),
-            F.count(F.when(F.col("n_docs") > 1, 1)).cast("bigint").alias("n_dup"),
-        )
+        .agg(F.count("*").cast("bigint").alias("n_dup"))
+    )
+    out = (
+        totals.join(ndup, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
-            "n_dup",
-            F.round(F.col("n_dup").cast("double") * 1000000.0 / F.col("n_shingles"))
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                * 1000000.0
+                / F.col("n_shingles")
+            )
             .cast("bigint")
             .alias("dup_ppm"),
         )
