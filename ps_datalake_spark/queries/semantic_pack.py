@@ -392,10 +392,13 @@ _W = 5  # shingle width (production w≈50 tokens; fixture docs are 20-70
     f"{_W}-token shingle of every document is posted, shingles occurring "
     "in more than one document are marked, and each document reports its "
     "duplicated-span fraction — the signal the dedup pass uses to cut "
-    "verbatim-repeated boilerplate out of pre-training text.  One shuffle "
-    "on the shingle key; per-key work bounded by document frequency.  At "
-    "production scale the shingle collapses to xxhash64 first so the "
-    "shuffle carries 8-byte keys.",
+    "verbatim-repeated boilerplate out of pre-training text.  Shape: the "
+    "checkpointed shingle postings feed (a) a map-side-combining min/max "
+    "aggregate whose min(doc)!=max(doc) rows form the dup-shingle set and "
+    "(b) a shuffle_hash join against that set (never broadcast — the set "
+    "is corpus-proportional); per-doc totals come straight from the token "
+    "counts, no join.  At production scale the shingle collapses to "
+    "xxhash64 first so the shuffle carries 8-byte keys.",
 )
 def b73_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
