@@ -341,3 +341,14 @@ def test_semantic_pack_plans(spark, sf_dir):
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
         # every nested-loop site joins the bounded centroid build side
         assert "BuildRight" in frag.split("\n", 2)[0] or "cid" in frag[:400], frag[:200]
+
+
+def test_ngram_dedup_dupset_join_never_broadcasts(spark, sf_dir):
+    """b73_substring_dedup / b70_memorization_rate: the dup-gram relation is
+    corpus-proportional and was auto-broadcast on a size misestimate (driver
+    OOM at 10x sf0.1) — the shuffle_hash hint must hold so the gram-keyed
+    join NEVER broadcasts, at any size estimate."""
+    for name in ("b73_substring_dedup", "b70_memorization_rate"):
+        plan = _formatted_plan(SPECS[name].build(spark, sf_dir))
+        assert "ShuffledHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
