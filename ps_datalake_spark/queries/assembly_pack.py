@@ -9,9 +9,10 @@ Scale design notes (100 TB):
     BOUNDED relation (65536 buckets) regardless of corpus size — one
     map-side-combined shuffle over the exploded features, then the
     per-bucket log-ratio table broadcasts everywhere and the per-doc sum
-    is a second pass over the same postings.  At 100 TB the postings
-    relation would be persisted/checkpointed between the two consumers;
-    at query scope the double scan is cheaper than the materialization.
+    is a second pass over the same postings.  The postings relation is
+    checkpointed between its two consumers — re-deriving it re-runs the
+    explode + per-occurrence sha256 (measured 2x the whole query cost at
+    10x sf0.1), and the materialized form is narrower than its input.
   * memorization rate (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better"): per-doc fraction of its distinct
     8-grams that occur in ≥2 documents.  Posting-list shuffle keyed on
@@ -42,9 +43,15 @@ from ._util import T, tiny_sort
 _N_BUCKETS = 65536  # 4 hex digits of sha256 — the DSIR hashed-feature width
 
 
-def _bigrams(text_col):
-    """Whitespace-token bigram array (JVM-side, no UDF)."""
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+def _bigrams(toks_col):
+    """Whitespace-token bigram array (JVM-side, no UDF).
+
+    ``toks_col`` must be a MATERIALIZED token-array column (not the raw
+    split() expression): element_at over an inline split re-runs the regex
+    split per element — O(tokens^2) per document, the defect class the r6
+    scale re-measure caught in b70_memorization_rate.
+    """
+    toks = F.col(toks_col)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
@@ -101,16 +108,24 @@ _BIGRAMS_SQL = """
 )
 def b70_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    feats = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(_bigrams(F.col("text"))).alias("bg"),
-    ).select(
-        "doc_id",
-        "lang",
-        F.conv(F.substring(F.sha2(F.col("bg").cast("binary"), 256), 1, 4), 16, 10)
-        .cast("bigint")
-        .alias("f"),
+    # materialize the token array as a COLUMN before the bigram transform
+    # (the b70_memorization_rate discipline), and checkpoint the postings
+    # ONCE — stats and the per-doc weight sum both consume `feats`, and
+    # without the checkpoint each consumer re-ran the explode + 120M-row
+    # sha256 pass (measured 360 s vs DuckDB's 9 s at 10x sf0.1).
+    tw = docs.select(
+        "doc_id", "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+    )
+    feats = (
+        tw.select("doc_id", "lang", F.explode(_bigrams("ws")).alias("bg"))
+        .select(
+            "doc_id",
+            "lang",
+            F.conv(F.substring(F.sha2(F.col("bg").cast("binary"), 256), 1, 4), 16, 10)
+            .cast("bigint")
+            .alias("f"),
+        )
+        .localCheckpoint(eager=False)
     )
     stats = feats.groupBy("f").agg(
         F.count("*").alias("cr"),

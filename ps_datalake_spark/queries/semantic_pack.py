@@ -10,10 +10,12 @@ Scale design notes (100 TB):
     first, and the O(n²) cosine comparison happens only WITHIN a cluster —
     the pairwise cost is Σ|cluster|², never corpus².  The cluster pass here
     is one broadcast nested-loop over a bounded k-row centroid relation
-    (identical shape to b71_kmeans_step); the within-cluster pair join
-    shuffles both sides on the cluster id, so each cluster's quadratic work
-    is local to one partition.  At 100 TB k grows to ~√n and the per-cluster
-    populations stay bounded.
+    (identical shape to b71_kmeans_step); the within-cluster pairwise stage
+    is a cluster-keyed shuffle into ONE exact int64 GEMM per cluster
+    (Arrow-batched grouped map, the b36 block-GEMM shape) — the pair
+    self-join formulation evaluated ~25M interpreted zip_with lambdas at
+    10x sf0.1 (65 s vs 6 s).  At 100 TB k grows to ~√n and the per-cluster
+    populations stay bounded, so one cluster always fits its task.
   * unigram KL: both distributions reduce to one bounded-width aggregate
     over the token postings (map-side combined); the per-(source, token)
     relation joins the global token relation on the token key.  Per-term
@@ -121,10 +123,12 @@ def _quantised(emb_col):
     "cluster pass), then WITHIN each cluster a vector is dropped when any "
     "lower-vec_id member has cosine similarity > 0.35 — the greedy "
     "keep-first variant of the paper's per-cluster pruning.  The cosine "
-    "test is exact integer arithmetic (dot²·10⁴ ≥ 1225·|a|²·|b|² in "
-    "DECIMAL(38,0)), so no float enters the decision.  Pairwise cost is "
-    "Σ|cluster|², never corpus², and the pair join shuffles on the cluster "
-    "id so each cluster's quadratic work is partition-local.",
+    "test is exact integer arithmetic (dot²·10⁴ ≥ 1225·|a|²·|b|², float64 "
+    "screen + arbitrary-precision recheck of the ambiguous sliver), so no "
+    "float decides any pair.  Pairwise cost is Σ|cluster|², never corpus², "
+    "organised as one int64 GEMM per cluster inside an Arrow-batched "
+    "grouped map (the b36 block-GEMM shape) — each cluster's quadratic "
+    "work is one C-loop matmul local to its task.",
 )
 def b72_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -159,41 +163,47 @@ def b72_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, v: acc + v,
             ).alias("nrm"),
         )
+        # three consumers (both pair-join sides + the final rollup) — without
+        # the checkpoint each re-runs the k-way crossJoin + per-vector window
+        # (measured ~2/3 of total query time at 10x sf0.1)
+        .localCheckpoint(eager=False)
     )
-    a = assigned.select(
-        F.col("cid"),
-        F.col("vec_id").alias("a_id"),
-        F.col("e").alias("a_e"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = assigned.select(
-        F.col("cid"),
-        F.col("vec_id").alias("b_id"),
-        F.col("e").alias("b_e"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    dot = F.aggregate(
-        F.zip_with("a_e", "b_e", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    ).alias("dot")
-    pairs = (
-        a.join(b, "cid")
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("cid", "a_id", "b_id", "a_nrm", "b_nrm", dot)
-    )
+    # Within-cluster pairwise stage as ONE int64 GEMM per cluster (the
+    # b36_cosine_neardup block-GEMM shape): the self-join + zip_with dot
+    # product evaluated ~25M 64-element higher-order lambdas at 10x sf0.1
+    # (65 s); the grouped-map matmul is C-loop numpy over the same exact
+    # integers (components <= 1e6, so |dot| <= 64e12 — no int64 overflow).
+    # The threshold decision stays EXACT: a float64 screen classifies pairs
+    # whose two sides differ by > 1e-9 relative (float64 error ~1e-16), and
+    # the ambiguous sliver is re-checked in arbitrary-precision Python ints.
+    import numpy as np
+    import pandas as pd
+
+    def _cluster_dups(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        E = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["e"]])
+        G = E @ E.T
+        nrm = np.diag(G)
+        ii, jj = np.triu_indices(len(ids), k=1)  # ids sorted => id[ii] < id[jj]
+        dot = G[ii, jj]
+        lf = dot.astype(np.float64) ** 2 * 10000.0
+        rf = float(_TAU2_E4) * nrm[ii].astype(np.float64) * nrm[jj].astype(np.float64)
+        pos = dot > 0
+        band = 1e-9 * np.maximum(lf, rf)
+        keep = pos & (lf - rf > band)
+        for k in np.nonzero(pos & (np.abs(lf - rf) <= band))[0]:
+            d, na, nb = int(dot[k]), int(nrm[ii[k]]), int(nrm[jj[k]])
+            if d * d * 10000 >= _TAU2_E4 * na * nb:
+                keep[k] = True
+        return pd.DataFrame({"vec_id": np.unique(ids[jj[keep]])})
+
     dup = (
-        pairs.where(
-            (F.col("dot") > 0)
-            & (
-                F.col("dot").cast("decimal(38,0)") * F.col("dot") * 10000
-                >= F.lit(_TAU2_E4)
-                * F.col("a_nrm").cast("decimal(38,0)")
-                * F.col("b_nrm")
-            )
-        )
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
+        assigned.select("cid", "vec_id", "e")
+        .groupBy("cid")
+        .applyInPandas(_cluster_dups, "vec_id long")
         .withColumn("is_dup", F.lit(True))
     )
     out = (

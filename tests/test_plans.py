@@ -316,8 +316,9 @@ def test_semantic_pack_plans(spark, sf_dir):
     cartesians anywhere (the only nested-loop joins are against BOUNDED
     broadcast relations: k centroids / 1-row corpus total), the OOV
     vocabulary and z-score stats attach via BroadcastHashJoin (the
-    corpus-proportional side never shuffles for them), and every query
-    stays JVM-side (zero Python UDFs)."""
+    corpus-proportional side never shuffles for them), and no row-at-a-time
+    Python anywhere (semdedup's pairwise stage is an Arrow-batched grouped
+    map — asserted separately below; everything else is pure JVM)."""
     for name in (
         "b72_semdedup",
         "b72_domain_kl",
@@ -332,12 +333,13 @@ def test_semantic_pack_plans(spark, sf_dir):
     for name in ("b72_oov_rate", "b73_zscore_normalize"):
         plan = _formatted_plan(SPECS[name].build(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, name
-    # the SemDeDup pair join is keyed on the cluster id — a shuffle/merge
-    # join, never a nested loop over the corpus (the only nested-loop joins
-    # are the k-row broadcast centroid passes, which the plan repeats once
-    # per reuse of the assignment subtree)
+    # the SemDeDup within-cluster pairwise stage is ONE grouped-map GEMM per
+    # cluster (the b36 block-GEMM shape) — a cluster-keyed shuffle into
+    # FlatMapGroupsInPandas, never a pair self-join (the zip_with pair join
+    # evaluated ~25M interpreted lambdas at 10x sf0.1) and never a nested
+    # loop over the corpus (the only NL joins are the k-row centroid passes)
     plan = _formatted_plan(SPECS["b72_semdedup"].build(spark, sf_dir))
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
         # every nested-loop site joins the bounded centroid build side
         assert "BuildRight" in frag.split("\n", 2)[0] or "cid" in frag[:400], frag[:200]
