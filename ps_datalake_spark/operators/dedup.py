@@ -41,13 +41,18 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side, no UDF).
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a MATERIALIZED token-array column.
+
+    ``toks`` must reference a column that already holds the token array
+    (project :func:`tokenize` into its own select first): slicing an inline
+    split() expression re-runs the regex split per element — O(tokens^2)
+    per document, the defect class the round-6 scale re-measure caught in
+    b70_memorization_rate.
 
     Guarded for short docs: Spark's sequence(1, 0) is *descending*, so the
     index range must be gated on size ≥ n.
     """
-    toks = tokenize(text)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     return F.when(F.size(toks) >= n, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))

@@ -118,12 +118,17 @@ def chunk_documents(
     of chunks is 1 + ceil(max(n-window, 0)/stride) so the tail is always
     covered. Pure JVM expressions — exactly reproducible in SQL.
     """
-    toks = tokenize(F.col(text_col))
+    # token array materialized in its own projection: slicing the inline
+    # split() inside the chunk-index lambda re-runs the regex split per
+    # chunk — O(tokens^2/stride) per document (the b70_memorization_rate
+    # defect class caught by the round-6 scale re-measure)
+    tw = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = 1 + F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(stride)).cast("int")
     idx = F.sequence(F.lit(0), n_chunks - 1)
     chunks = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, window)))
-    return df.select(
+    return tw.select(
         F.col(id_col).alias("doc"),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     ).select(

@@ -648,7 +648,16 @@ def b37_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b35_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
-    docs = _planted_text_corpus(spark, sf_dir)
+    # approxSimilarityJoin at sim >= 0.3 generates candidates quadratically
+    # in the corpus (260 s at sf0.1) and is NOT the scale path — custom
+    # banded LSH (b35_minhash_lsh) is.  The ML-interop exercise runs on a
+    # deterministic ~20% sample UNION the planted rows (ids < 10 mod the
+    # 100000 copy offset), which keeps every oracle pair and bounds the
+    # candidate volume at any SF.
+    docs = _planted_text_corpus(spark, sf_dir).where(
+        (F.col("doc_id") % 100000 < 10)
+        | (F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0)
+    )
     tok = Tokenizer(inputCol="text", outputCol="words")
     words = tok.transform(docs)
     tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 16, binary=True)

@@ -69,28 +69,45 @@ _CONTAM_ORACLE = f"""
     tags=("B47", "llm"),
     doc="Benchmark-contamination check: for every corpus document, the count "
     "of distinct 5-gram shingles shared with a deterministic ~5% held-out "
-    "eval set; contaminated = >= 3 shared shingles. Posting-list equi-join "
-    "keyed on the shingle (cost sum-of-df, not docs x eval); at 100 TB the "
-    "eval shingle set is small enough to broadcast, making the pass a "
-    "shuffle-free map-side semi-join.",
+    "eval set; contaminated = >= 3 shared shingles. One shingle-posting "
+    "pass (checkpointed — three branches consume it) and one posting-list "
+    "equi-join keyed on the shingle (cost sum-of-df, not docs x eval). The "
+    "eval shingle set is ~5% OF THE CORPUS — corpus-proportional, so it "
+    "must NEVER broadcast (the b69 broadcast-limit class); shuffle_hash "
+    "keys the join so the per-key build stays bounded by the partition at "
+    "any corpus size.",
 )
 def b47_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").select(
         "doc_id", "text", (_hash_pct(F.col("doc_id")) < _EVAL_PCT).alias("is_eval")
     )
-    sh = docs.select("doc_id", "is_eval", shingles(F.col("text"), n=5).alias("s"))
-    eval_shingles = (
-        sh.where("is_eval").select(F.explode("s").alias("shingle")).distinct()
+    # token array materialized in its own projection before the shingle
+    # transform — slicing the inline split() re-runs the regex per element —
+    # and the shingle postings generated ONCE into a lazy checkpoint: the
+    # eval set, the hit count, and (before this shape) the output row base
+    # each re-ran the full shingle pass (3x the dominant cost at 10x sf0.1)
+    tw = docs.select(
+        "doc_id", "is_eval", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
     )
-    corpus = sh.where(~F.col("is_eval"))
+    postings = (
+        tw.select(
+            "doc_id", "is_eval", F.explode(shingles(F.col("ws"), n=5)).alias("shingle")
+        )
+        .localCheckpoint(eager=False)
+    )
+    eval_shingles = postings.where("is_eval").select("shingle").distinct()
     hits = (
-        corpus.select("doc_id", F.explode("s").alias("shingle"))
-        .join(F.broadcast(eval_shingles), "shingle")
+        postings.where(~F.col("is_eval"))
+        .join(eval_shingles.hint("shuffle_hash"), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
+    # the output row base is every non-eval document (including zero-shingle
+    # docs, which the explode drops from `postings`) — a plain column scan,
+    # no shingling needed
     return (
-        corpus.select("doc_id")
+        docs.where(~F.col("is_eval"))
+        .select("doc_id")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
