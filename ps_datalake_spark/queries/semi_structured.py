@@ -370,3 +370,74 @@ def b28_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM ps_udtf_docs, LATERAL {name}(t) c"
     )
     return tiny_sort(out, "doc_id", "chunk_no")
+
+
+@query(
+    "b27_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS var_json,
+           'OBJECT<k: BIGINT>' AS var_schema,
+           CAST(NULL AS BIGINT) AS missing_path,
+           CAST(NULL AS VARCHAR) AS bad_parse,
+           TRUE AS null_is_variant_null
+    FROM events ORDER BY event_id
+    """,
+    tags=("B27",),
+    doc="Spark 4 VARIANT surface: parse_json -> variant_get typed extraction, "
+    "to_json canonicalization, schema_of_variant, try_parse_json on invalid "
+    "input (NULL, not an error), variant_get on a missing path (NULL), "
+    "is_variant_null on a JSON null literal. VARIANT is the open-ended "
+    "semi-structured column type for ingest pipelines where the props "
+    "schema drifts; at scale the parse is a per-row JVM expression (no "
+    "shuffle, no Python). Only scalar projections are returned — the "
+    "variant value itself stays engine-internal.",
+)
+def b27_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    var = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(var, "$.k", "bigint").alias("k_int"),
+        F.to_json(var).alias("var_json"),
+        F.schema_of_variant(var).alias("var_schema"),
+        F.variant_get(var, "$.does_not_exist", "bigint").alias("missing_path"),
+        F.to_json(F.try_parse_json(F.lit("{not valid json"))).alias("bad_parse"),
+        F.is_variant_null(F.parse_json(F.lit("null"))).alias("null_is_variant_null"),
+    ).orderBy("event_id")
+
+
+@query(
+    "b27_xml",
+    oracle="""
+    SELECT event_id,
+           '<ROW>' || chr(10) ||
+           '    <event_id>' || event_id || '</event_id>' || chr(10) ||
+           '    <event_type>' || event_type || '</event_type>' || chr(10) ||
+           '</ROW>' AS xml,
+           event_id AS rt_id,
+           event_type AS rt_type,
+           event_id AS xp_id,
+           event_type AS xp_type
+    FROM events ORDER BY event_id
+    """,
+    tags=("B27",),
+    doc="XML functions (native in Spark 4): to_xml of a struct, from_xml "
+    "round-trip extraction, and XPath scalar extraction (xpath_long / "
+    "xpath_string) over the serialized form. All per-row JVM expressions — "
+    "the XML codec runs inside whole-stage codegen with no shuffle; the "
+    "oracle reconstructs to_xml's exact 4-space-indented layout textually.",
+)
+def b27_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    xml = F.to_xml(F.struct(F.col("event_id"), F.col("event_type")))
+    parsed = F.from_xml(xml, "struct<event_id:bigint,event_type:string>")
+    return ev.select(
+        "event_id",
+        xml.alias("xml"),
+        parsed.getField("event_id").alias("rt_id"),
+        parsed.getField("event_type").alias("rt_type"),
+        F.xpath_long(xml, F.lit("/ROW/event_id")).alias("xp_id"),
+        F.xpath_string(xml, F.lit("/ROW/event_type")).alias("xp_type"),
+    ).orderBy("event_id")
