@@ -826,3 +826,97 @@ def b58_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey", True))
     )
     return tiny_sort(out, "fk")
+
+
+@query(
+    "b60_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users_rollup
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("B11", "warehouse"),
+    doc="EXACT distinct counting via Spark 4 bitmap aggregates — the "
+    "re-mergeable alternative to count_distinct's expand plan: user_id is "
+    "split into (bucket, bit) by bitmap_bucket_number/bitmap_bit_position, "
+    "per-bucket bitmaps build map-side (constant-size partials through the "
+    "shuffle, like an HLL but exact), and bitmap_count sums to the true "
+    "distinct. The second path proves incremental rollup: per-DAY bitmaps "
+    "OR-merge (bitmap_or_agg) across days to the identical total WITHOUT "
+    "re-scanning the fact table — the lakehouse pattern for maintaining "
+    "exact daily/weekly/all-time uniques at 100 TB.",
+)
+def b60_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number(F.col("user_id")).alias("bkt"),
+        F.bitmap_bit_position(F.col("user_id")).alias("bit"),
+    )
+    # direct: one bitmap per (type, bucket), summed bit-counts = exact NDV
+    direct = (
+        ev.groupBy("event_type", "bkt")
+        .agg(F.bitmap_construct_agg("bit").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("nd_users"))
+    )
+    # rollup: daily partial bitmaps, OR-merged across days — same totals
+    rollup = (
+        ev.groupBy("event_type", "day", "bkt")
+        .agg(F.bitmap_construct_agg("bit").alias("bm"))
+        .groupBy("event_type", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("nd_users_rollup"))
+    )
+    return tiny_sort(direct.join(rollup, "event_type"), "event_type")
+
+
+@query(
+    "b10_mode_listagg",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id % 50 AS v, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, v) AS rn
+      FROM c
+    ),
+    la AS (
+      SELECT event_type,
+             string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS small_users
+      FROM (SELECT DISTINCT event_type, user_id FROM events WHERE user_id < 15)
+      GROUP BY event_type
+    )
+    SELECT r.event_type, r.v AS mode_u50, la.small_users
+    FROM r JOIN la ON r.event_type = la.event_type
+    WHERE r.rn = 1 ORDER BY r.event_type
+    """,
+    tags=("B10", "warehouse"),
+    doc="Ordered-set aggregates (Spark 4): mode() with the deterministic "
+    "tie-break (smallest value among equal counts — matched exactly by the "
+    "oracle's ORDER BY cnt DESC, v window) and listagg ... WITHIN GROUP "
+    "(ORDER BY ...) string aggregation over a bounded key subset (the "
+    "within-group sort is per-group local work after one hash shuffle; the "
+    "subset keeps the string width bounded at any corpus scale).",
+)
+def b10_mode_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    modes = ev.groupBy("event_type").agg(
+        F.mode((F.col("user_id") % 50), True).alias("mode_u50")
+    )
+    la = (
+        ev.where(F.col("user_id") < 15)
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "listagg(CAST(user_id AS STRING), ',') WITHIN GROUP (ORDER BY user_id)"
+            ).alias("small_users")
+        )
+    )
+    return tiny_sort(modes.join(la, "event_type"), "event_type")
