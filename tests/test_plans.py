@@ -354,3 +354,14 @@ def test_ngram_dedup_dupset_join_never_broadcasts(spark, sf_dir):
         plan = _formatted_plan(SPECS[name].build(spark, sf_dir))
         assert "ShuffledHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_bitmap_distinct_avoids_expand(spark, sf_dir):
+    """b60_bitmap_distinct's whole point: exact NDV through constant-size
+    bitmap partials instead of count_distinct's Expand plan — the bitmap
+    aggregates must partial-combine map-side (HashAggregate) with no Expand
+    node anywhere, and the rollup path re-merges without re-scanning more
+    than the two branches' scans."""
+    plan = _formatted_plan(SPECS["b60_bitmap_distinct"].build(spark, sf_dir))
+    assert "Expand" not in plan, "bitmap NDV must not plan count_distinct's Expand"
+    assert "HashAggregate" in plan
