@@ -88,3 +88,42 @@ _GROUPING_SETS_SQL = """
 def b40_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# Identical recursion on both engines except the integer-division operator
+# (Spark `DIV`, DuckDB `//`) — substituted below. Keys shift +1 so the walk
+# domain is 1..N (p_partkey starts at 0, and 0 DIV 2 = 0 never reaches the
+# root). Depth is log2(max key): the working set is rows x log(keyspace),
+# which at 100 TB stays a linear number of bounded-width iterations — each
+# one a narrow filter+project over the frontier, no shuffle until the final
+# bounded aggregate.
+_RECURSIVE_SQL = """
+    WITH RECURSIVE walk(k, cur, steps, path_sum) AS (
+      SELECT p_partkey + 1, p_partkey + 1, 0, CAST(p_partkey + 1 AS BIGINT)
+      FROM part
+      UNION ALL
+      SELECT k, cur {DIV} 2, steps + 1, path_sum + (cur {DIV} 2)
+      FROM walk WHERE cur > 1
+    )
+    SELECT steps AS depth,
+           count(*) AS n_parts,
+           CAST(sum(path_sum) AS BIGINT) AS sum_path,
+           CAST(min(k) AS BIGINT) AS min_key
+    FROM walk WHERE cur = 1
+    GROUP BY steps ORDER BY steps
+    """
+
+
+@query(
+    "b40_sql_recursive",
+    oracle=_RECURSIVE_SQL.format(DIV="//"),
+    tags=("B1", "sql"),
+    doc="Recursive CTE (WITH RECURSIVE, new in Spark 4): every part key "
+    "walks its binary-tree ancestor chain (parent = key DIV 2) to the "
+    "root, aggregated by walk depth with per-path checksums. The iterative "
+    "union is Catalyst's UnionLoop execution — the SQL-native form of the "
+    "label-propagation loops b61/b66 hand-roll via localCheckpoint.",
+)
+def b40_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(_RECURSIVE_SQL.format(DIV="DIV"))
