@@ -25,4 +25,6 @@ from . import tokenize_pack  # noqa: F401
 from . import boilerplate_pack  # noqa: F401
 from . import assembly_pack  # noqa: F401
 from . import semantic_pack  # noqa: F401
+from . import sketch_pack  # noqa: F401
+from . import robust_pack  # noqa: F401
 from . import lake_ops  # noqa: F401

@@ -1,0 +1,238 @@
+"""Probabilistic-sketch operators: Count-Min frequency sketch and Bloom
+membership filter — the two mergeable sketches a 100 TB ingest pipeline
+leans on for heavy-hitter tracking and join pruning.
+
+Scale design notes (100 TB):
+  * Count-Min (Cormode & Muthukrishnan 2005): the sketch is a d×w counter
+    grid whose cells are ASSOCIATIVE sums — each executor folds its token
+    stream into partial (row, bucket) counts map-side, and the reduce merges
+    d·w bounded cells regardless of corpus size.  That is exactly a Spark
+    hash aggregate on (seed, bucket): the shuffle carries at most d·w rows
+    per map task, never the posting stream.  Estimation joins the query
+    terms (a bounded relation) against the 4 096-cell sketch — broadcast,
+    shuffle-free.
+  * Bloom filter: the bit array is the DISTINCT set of k·|build| hash
+    positions — a bounded relation (≤ m rows) built with one map-side
+    combined aggregate over the build keys.  Probing broadcasts the bit
+    relation and needs no shuffle of the probe stream; false positives are
+    counted against a ground-truth semi-join.  This is the same runtime
+    shape Spark's own AQE "runtime bloom filter" injects on the build side
+    of large joins — materialised here explicitly so membership semantics
+    (k bits all set) are oracle-checkable.
+  * Both hash families derive from sha256 over a seed-tagged key — the
+    engine-portable hash this repo standardises on (sampling_rollup._hash_pct)
+    so Spark and DuckDB compute bit-identical positions.
+
+Determinism: counters and bit positions are exact integers end-to-end; no
+floating point anywhere in either query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ._util import T, tiny_sort
+
+_CMS_SEEDS = ("s0", "s1", "s2", "s3")  # d = 4 sketch rows
+_CMS_W = 1024                           # buckets per row
+_BLOOM_SEEDS = ("b0", "b1", "b2")       # k = 3 hash functions
+_BLOOM_M = 8192                         # bit-array size
+
+
+def _pos(seed: str, key: Column, mod: int) -> Column:
+    """Engine-portable hash position: first 8 hex digits of sha256 of the
+    seed-tagged key, mod the table width (sha256 bytes are identical on any
+    engine; 8 hex digits = 32 bits fits BIGINT exactly)."""
+    tagged = F.concat(F.lit(seed + "|"), key.cast("string")).cast("binary")
+    return F.conv(F.substring(F.sha2(tagged, 256), 1, 8), 16, 10).cast("bigint") % mod
+
+
+_POS_SQL = "CAST(('0x' || substr(sha256({seed} || '|' || CAST({k} AS VARCHAR)), 1, 8)) AS BIGINT) % {mod}"
+
+
+def _cms_seed_values() -> str:
+    return ", ".join(f"('{s}')" for s in _CMS_SEEDS)
+
+
+@query(
+    "b75_countmin_heavy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (SELECT term FROM toks WHERE term <> ''),
+    seeds AS (SELECT seed FROM (VALUES {_cms_seed_values()}) AS s(seed)),
+    cells AS (
+      SELECT seed, {_POS_SQL.format(seed='seed', k='term', mod=_CMS_W)} AS bucket,
+             count(*) AS cell_cnt
+      FROM t CROSS JOIN seeds
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT term, count(*) AS exact_cnt FROM t GROUP BY 1),
+    probe AS (
+      SELECT e.term, e.exact_cnt, s.seed,
+             {_POS_SQL.format(seed='s.seed', k='e.term', mod=_CMS_W)} AS bucket
+      FROM exact e CROSS JOIN seeds s
+    )
+    SELECT p.term,
+           CAST(min(p.exact_cnt) AS BIGINT) AS exact_cnt,
+           CAST(min(c.cell_cnt) AS BIGINT) AS est_cnt,
+           CAST(min(c.cell_cnt) - min(p.exact_cnt) AS BIGINT) AS overcount
+    FROM probe p JOIN cells c ON c.seed = p.seed AND c.bucket = p.bucket
+    GROUP BY p.term ORDER BY p.term
+    """,
+    tags=("B12", "llm", "sketch"),
+    doc="Count-Min sketch (d=4, w=1024) over the document token stream: "
+    "cells are map-side-combined (seed, bucket) partial counts — the "
+    "shuffle carries <=4096 rows per map task at ANY corpus size — and "
+    "the point estimate is min over the d rows.  Estimates for every "
+    "vocabulary term are reported against exact counts; the overcount "
+    "column is the sketch's collision error, >=0 by construction.",
+)
+def b75_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+
+    # Sketch build: one hash aggregate over (seed, bucket) — the mergeable
+    # d×w counter grid (4096 cells), never a per-term materialisation.
+    pairs = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _pos(s, F.col("term"), _CMS_W).alias("bucket"),
+                    )
+                    for s in _CMS_SEEDS
+                ]
+            )
+        ).alias("sb")
+    )
+    cells = pairs.groupBy("sb.seed", "sb.bucket").agg(F.count("*").alias("cell_cnt"))
+
+    # Exact counts (the comparison baseline) and the bounded probe relation.
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    probe = exact.select(
+        "term",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _pos(s, F.col("term"), _CMS_W).alias("bucket"),
+                    )
+                    for s in _CMS_SEEDS
+                ]
+            )
+        ).alias("sb"),
+    ).select("term", "exact_cnt", "sb.seed", "sb.bucket")
+
+    est = (
+        probe.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("term")
+        .agg(
+            F.min("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.min("cell_cnt").cast("bigint").alias("est_cnt"),
+            (F.min("cell_cnt") - F.min("exact_cnt")).cast("bigint").alias("overcount"),
+        )
+    )
+    return tiny_sort(est, "term")
+
+
+def _bloom_seed_values() -> str:
+    return ", ".join(f"('{s}')" for s in _BLOOM_SEEDS)
+
+
+@query(
+    "b75_bloom_filter",
+    oracle=f"""
+    WITH build AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    seeds AS (SELECT seed FROM (VALUES {_bloom_seed_values()}) AS s(seed)),
+    bits AS (
+      SELECT DISTINCT {_POS_SQL.format(seed='seed', k='key', mod=_BLOOM_M)} AS pos
+      FROM build CROSS JOIN seeds
+    ),
+    probe AS (SELECT c_custkey * 7 + 3 AS probe_key FROM customer),
+    hits AS (
+      SELECT p.probe_key,
+             sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM (SELECT probe_key, seed,
+                   {_POS_SQL.format(seed='seed', k='probe_key', mod=_BLOOM_M)} AS pos
+            FROM probe CROSS JOIN seeds) p
+      LEFT JOIN bits b ON p.pos = b.pos
+      GROUP BY 1
+    ),
+    truth AS (
+      SELECT h.probe_key, h.n_hit,
+             CASE WHEN bl.key IS NOT NULL THEN 1 ELSE 0 END AS present
+      FROM hits h LEFT JOIN build bl ON h.probe_key = bl.key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN n_hit = {len(_BLOOM_SEEDS)} THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(sum(present) AS BIGINT) AS n_present,
+           CAST(sum(CASE WHEN n_hit = {len(_BLOOM_SEEDS)} AND present = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN n_hit = {len(_BLOOM_SEEDS)} AND present = 0 THEN probe_key ELSE 0 END) AS BIGINT) AS fp_checksum,
+           CAST(sum(CASE WHEN present = 1 AND n_hit < {len(_BLOOM_SEEDS)} THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM truth
+    """,
+    tags=("B7", "sketch"),
+    doc="Bloom membership filter (m=8192 bits, k=3): the bit array is built "
+    "as the DISTINCT hash-position relation over the orders build keys "
+    "(bounded <= m rows, map-side combined), broadcast, and probed by a "
+    "shifted customer key set so present/absent/false-positive regimes all "
+    "occur.  Ground truth is an exact anti-join; the n_false_neg column "
+    "is the no-false-negatives invariant (must be 0).  Runtime shape of "
+    "Spark's AQE bloom-filter join pruning, materialised oracle-checkably.",
+)
+def b75_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = len(_BLOOM_SEEDS)
+    build = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key")).distinct()
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[_pos(s, F.col("key"), _BLOOM_M) for s in _BLOOM_SEEDS])
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("bit_set", F.lit(1))
+    )
+    probe = T(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 7 + 3).alias("probe_key")
+    )
+    probed = probe.select(
+        "probe_key",
+        F.explode(
+            F.array(*[_pos(s, F.col("probe_key"), _BLOOM_M) for s in _BLOOM_SEEDS])
+        ).alias("pos"),
+    )
+    hits = (
+        probed.join(F.broadcast(bits), "pos", "left")
+        .groupBy("probe_key")
+        .agg(F.sum(F.coalesce(F.col("bit_set"), F.lit(0))).alias("n_hit"))
+    )
+    truth = hits.join(
+        F.broadcast(build.withColumnRenamed("key", "probe_key").withColumn("present", F.lit(1))),
+        "probe_key",
+        "left",
+    ).withColumn("present", F.coalesce(F.col("present"), F.lit(0)))
+    maybe = F.col("n_hit") == k
+    return truth.agg(
+        F.count("*").cast("bigint").alias("n_probe"),
+        F.sum(F.when(maybe, 1).otherwise(0)).cast("bigint").alias("n_maybe"),
+        F.sum("present").cast("bigint").alias("n_present"),
+        F.sum(F.when(maybe & (F.col("present") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(F.when(maybe & (F.col("present") == 0), F.col("probe_key")).otherwise(0))
+        .cast("bigint")
+        .alias("fp_checksum"),
+        F.sum(F.when((F.col("present") == 1) & (F.col("n_hit") < k), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_neg"),
+    )

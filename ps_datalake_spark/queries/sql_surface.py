@@ -114,6 +114,104 @@ _RECURSIVE_SQL = """
     """
 
 
+# Shared text both engines (Spark 4 and DuckDB both speak LATERAL): the
+# per-customer correlated derived table computes an aggregate the outer query
+# re-aggregates by segment.  Catalyst decorrelates this into an equi-join +
+# aggregate — no per-row re-execution — which is why it scales; the decimal
+# cast keeps the segment sums associative/exact.
+_LATERAL_SQL = """
+    SELECT c.c_mktsegment,
+           count(*) AS n_cust,
+           CAST(sum(t.n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(t.max_price_dec) AS DOUBLE) AS sum_max_price
+    FROM customer c, LATERAL (
+      SELECT count(*) AS n_orders,
+             CAST(coalesce(max(o_totalprice), 0.0) AS DECIMAL(18,2)) AS max_price_dec
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+    ) t
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """
+
+
+@query(
+    "b40_sql_lateral",
+    oracle=_LATERAL_SQL,
+    tags=("B5", "sql"),
+    doc="LATERAL correlated derived table (Spark 4 SQL), identical text on "
+    "both engines: a per-customer aggregate subquery the outer query "
+    "re-aggregates by market segment. Catalyst decorrelates to a "
+    "join+aggregate, so the correlated form costs one shuffle, not one "
+    "subquery execution per outer row.",
+)
+def b40_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
+
+
+# Spark 4 pipe-syntax form; the oracle is the equivalent ANSI text (DuckDB
+# has no |> dialect).  Aggregates use the exact DECIMAL(18,2) sum discipline.
+_PIPE_SQL_SPARK = """
+    FROM orders
+    |> WHERE o_totalprice > 50000
+    |> EXTEND year(o_orderdate) AS yr
+    |> AGGREGATE count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       GROUP BY o_orderpriority, yr
+    |> ORDER BY o_orderpriority, yr
+    """
+
+_PIPE_SQL_ORACLE = """
+    SELECT o_orderpriority,
+           year(o_orderdate) AS yr,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_totalprice > 50000
+    GROUP BY o_orderpriority, yr
+    ORDER BY o_orderpriority, yr
+    """
+
+
+@query(
+    "b40_sql_pipe",
+    oracle=_PIPE_SQL_ORACLE,
+    tags=("B1", "sql"),
+    doc="SQL pipe syntax (|> operators, new in Spark 4): linear "
+    "WHERE -> EXTEND -> AGGREGATE -> ORDER BY dataflow compiled to the "
+    "same Catalyst plan as the ANSI equivalent the DuckDB oracle runs.",
+)
+def b40_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_PIPE_SQL_SPARK)
+
+
+# Shared text both engines: GROUP BY ALL infers the grouping key set from the
+# non-aggregate select items; ORDER BY ALL totals the output ordering.
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """
+
+
+@query(
+    "b40_sql_groupby_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=("B10", "sql"),
+    doc="GROUP BY ALL / ORDER BY ALL (grouping keys and total ordering "
+    "inferred from the projection), identical text on both engines.",
+)
+def b40_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
 @query(
     "b40_sql_recursive",
     oracle=_RECURSIVE_SQL.format(DIV="//"),
