@@ -365,3 +365,39 @@ def test_bitmap_distinct_avoids_expand(spark, sf_dir):
     plan = _formatted_plan(SPECS["b60_bitmap_distinct"].build(spark, sf_dir))
     assert "Expand" not in plan, "bitmap NDV must not plan count_distinct's Expand"
     assert "HashAggregate" in plan
+
+
+def test_sketch_pack_plan_shapes(spark, sf_dir):
+    """Sketch-pack scale shapes: the 4096-cell CMS grid and the <=8192-row
+    Bloom bit relation are BOUNDED build sides that must broadcast onto the
+    probe stream (never shuffle it), everything stays JVM-side, and no
+    unbounded nested loop exists anywhere."""
+    for name in ("b75_countmin_heavy", "b75_bloom_filter"):
+        plan = _formatted_plan(SPECS[name].build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "BroadcastHashJoin" in plan, f"{name}: bounded sketch side must broadcast"
+
+
+def test_ks_test_cumsum_is_two_level(spark, sf_dir):
+    """b76_ks_test's whole point vs the naive SQL: the cumulative counts
+    must come from the PER-BUCKET window (partitioned, parallel), with the
+    bounded offset/total relations attached by broadcast — never a single
+    global-ordering window over the full value distribution."""
+    plan = _formatted_plan(SPECS["b76_ks_test"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the data-proportional window must be bucket-partitioned: its required
+    # child distribution hashpartitions on bkt (a global window would show
+    # an Exchange SinglePartition feeding it)
+    assert "hashpartitioning(bkt" in plan, "cumsum window must partition by bucket"
+    assert "BroadcastHashJoin" in plan, "bucket offsets must broadcast"
+
+
+def test_winsorize_boundary_relation_broadcasts(spark, sf_dir):
+    """b76_winsorized_stats: the per-group clip bounds (two rows per group)
+    and counts are bounded relations — the events stream must receive them
+    via BroadcastHashJoin, and the rank pass must be the only data-
+    proportional window."""
+    plan = _formatted_plan(SPECS["b76_winsorized_stats"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
