@@ -138,6 +138,11 @@ SCALE_QUERIES = [
     # (6.3x) — the explode rewrite's advantage needs daily-active sets that
     # dwarf the floor, which this fixture cannot provide.
     "b69_line_dedup",
+    # session-5 sketch/robust packs: scale evidence for the weighted-insert
+    # CMS fold (measured 3.5 s vs 2.0 s fresh-build min-of-1) and the
+    # order-statistic clip re-aggregate (4.1 s vs 3.6 s).
+    "b75_countmin_heavy",
+    "b76_winsorized_stats",
 ]
 # 100x probe set (TPC-H tables only are multiplied — see _build_scaled_dir).
 # Extended in r5 beyond q1/q5 to the headline shapes whose ≥10x behavior was

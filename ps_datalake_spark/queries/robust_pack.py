@@ -48,7 +48,7 @@ _KS_BUCKET_WIDTH = 10.0  # events.value spans [0, ~500] → ~50 bounded buckets
     WITH r AS (
       SELECT source, CAST(n_chars AS BIGINT) AS x,
              row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     ),
     g AS (
       SELECT source, count(*) AS n, sum(x) AS sx, sum(i * x) AS six
@@ -69,7 +69,10 @@ _KS_BUCKET_WIDTH = 10.0  # events.value spans [0, ~500] → ~50 bounded buckets
     "no float anywhere. One range-shuffle for ranks, then bounded output.",
 )
 def b76_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents").select(
+    # NULL guard is load-bearing for cross-engine rank parity: Spark sorts
+    # NULLs first ascending, DuckDB last — a NULL n_chars would silently
+    # shift every rank in its source group.
+    docs = T(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull()).select(
         "source", F.col("n_chars").cast("bigint").alias("x"), "doc_id"
     )
     w = Window.partitionBy("source").orderBy("x", "doc_id")

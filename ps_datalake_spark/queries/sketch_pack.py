@@ -72,10 +72,14 @@ def _cms_seed_values() -> str:
       FROM exact CROSS JOIN seeds
       GROUP BY 1, 2
     ),
+    tot AS (SELECT sum(exact_cnt) AS tot FROM exact),
+    heavy AS (
+      SELECT term, exact_cnt FROM exact, tot WHERE exact_cnt * 1000 > tot
+    ),
     probe AS (
       SELECT e.term, e.exact_cnt, s.seed,
              {_POS_SQL.format(seed='s.seed', k='e.term', mod=_CMS_W)} AS bucket
-      FROM exact e CROSS JOIN seeds s
+      FROM heavy e CROSS JOIN seeds s
     )
     SELECT p.term,
            CAST(min(p.exact_cnt) AS BIGINT) AS exact_cnt,
@@ -88,9 +92,11 @@ def _cms_seed_values() -> str:
     doc="Count-Min sketch (d=4, w=1024) over the document token stream: the "
     "occurrence stream pre-reduces to (term, weight) partials map-side, "
     "the weighted inserts fold into the bounded d*w counter grid, and the "
-    "point estimate is min over the d rows.  Estimates for every "
-    "vocabulary term are reported against exact counts; the overcount "
-    "column is the sketch's collision error, >=0 by construction.",
+    "point estimate is min over the d rows.  Reported terms are the heavy "
+    "hitters (count > total/1000 — at most 1000 terms at ANY corpus size, "
+    "so the report is bounded, never vocabulary-proportional) with exact "
+    "counts alongside; the overcount column is the sketch's collision "
+    "error, >=0 by construction.",
 )
 def b75_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -122,7 +128,19 @@ def b75_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sb"),
     )
     cells = pairs.groupBy("sb.seed", "sb.bucket").agg(F.sum("exact_cnt").alias("cell_cnt"))
-    probe = exact.select(
+
+    # Heavy-hitter cut: report only terms above total/1000 — at ANY corpus
+    # size at most 1000 terms clear a relative-frequency threshold, so the
+    # report relation (and its one-task sort) is bounded, never
+    # vocabulary-proportional.
+    tot = exact.agg(F.sum("exact_cnt").alias("tot"))
+    heavy = (
+        exact.crossJoin(F.broadcast(tot))
+        .where(F.col("exact_cnt") * 1000 > F.col("tot"))
+        .select("term", "exact_cnt")
+    )
+
+    probe = heavy.select(
         "term",
         "exact_cnt",
         F.explode(
