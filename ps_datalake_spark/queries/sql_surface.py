@@ -90,6 +90,101 @@ def b40_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
+# SQL-defined functions (new in Spark 4): a scalar SQL UDF and a SQL table
+# function, both declared in SQL text and INLINED by Catalyst into the query
+# plan — unlike Python UDFs there is no serialization boundary and no
+# interpreted evaluation, so they cost the same as writing the expression
+# inline (the plan shows no BatchEvalPython).  The DuckDB oracle is the
+# hand-inlined equivalent.
+_SQL_UDF_ORACLE = """
+    SELECT CASE WHEN p > 300000 THEN 'high'
+                WHEN p > 100000 THEN 'mid'
+                ELSE 'low' END AS band,
+           count(*) AS n_orders,
+           CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM (SELECT o_totalprice AS p FROM orders WHERE o_totalprice > 100000)
+    GROUP BY band
+    ORDER BY band
+    """
+
+
+@query(
+    "b40_sql_udf",
+    oracle=_SQL_UDF_ORACLE,
+    tags=("B28", "sql"),
+    doc="SQL-defined functions (Spark 4): a scalar SQL UDF (CREATE FUNCTION "
+    "... RETURN <expr>) banding prices and a SQL table function (RETURNS "
+    "TABLE) filtering orders, composed in one query. Catalyst inlines both "
+    "into the plan — zero serialization boundary, zero interpreted rows, "
+    "unlike Python UDFs. Oracle is the hand-inlined ANSI equivalent.",
+)
+def b40_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN p > 300000 THEN 'high' "
+        "WHEN p > 100000 THEN 'mid' ELSE 'low' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION orders_above(t DOUBLE) "
+        "RETURNS TABLE(p DOUBLE) "
+        "RETURN SELECT o_totalprice FROM orders WHERE o_totalprice > t"
+    )
+    return spark.sql(
+        """
+        SELECT price_band(p) AS band,
+               count(*) AS n_orders,
+               CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders_above(100000)
+        GROUP BY band
+        ORDER BY band
+        """
+    )
+
+
+# Parameterized SQL (named parameter markers, new in Spark 3.4/4): the SQL
+# text carries :name placeholders bound at execution — the injection-safe
+# form of templated queries.  The oracle inlines the same literals.
+_PARAMS_SQL_SPARK = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_totalprice > :thr AND o_orderstatus = :status
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+_PARAMS_THR = 250000
+_PARAMS_STATUS = "O"
+
+_PARAMS_SQL_ORACLE = f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_totalprice > {_PARAMS_THR} AND o_orderstatus = '{_PARAMS_STATUS}'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+@query(
+    "b40_sql_params",
+    oracle=_PARAMS_SQL_ORACLE,
+    tags=("B1", "sql"),
+    doc="Parameterized SQL: named :parameter markers bound via "
+    "spark.sql(text, args=...) — the injection-safe templated-query "
+    "surface; Catalyst folds the bound literals so the plan is identical "
+    "to the inlined form the DuckDB oracle runs.",
+)
+def b40_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        _PARAMS_SQL_SPARK, args={"thr": _PARAMS_THR, "status": _PARAMS_STATUS}
+    )
+
+
 # Identical recursion on both engines except the integer-division operator
 # (Spark `DIV`, DuckDB `//`) — substituted below. Keys shift +1 so the walk
 # domain is 1..N (p_partkey starts at 0, and 0 DIV 2 = 0 never reaches the

@@ -401,3 +401,13 @@ def test_winsorize_boundary_relation_broadcasts(spark, sf_dir):
     plan = _formatted_plan(SPECS["b76_winsorized_stats"].build(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sql_udf_inlines_jvm_side(spark, sf_dir):
+    """b40_sql_udf's SQL-defined scalar/table functions must be INLINED by
+    Catalyst — no Python evaluation node anywhere (the whole point vs a
+    Python UDF)."""
+    plan = _formatted_plan(SPECS["b40_sql_udf"].build(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
