@@ -263,21 +263,55 @@ _DRIVER_GREEN_R05 = frozenset(
 # row exists.
 _RETUNED_IN_R06 = frozenset({"b67_weighted_sample_topk"})
 
+# The 50 queries with a green (rows+schema+hash) driver row in round 6's
+# CORRECTNESS_r06.json — the NEWEST evidence, rotated to the back for round 7.
+_DRIVER_GREEN_R06 = frozenset(
+    {
+        "b10_mode_listagg", "b27_variant", "b27_xml", "b37_pmi_collocations",
+        "b37_stemming", "b37_wordpiece", "b38_time_travel",
+        "b40_sql_groupby_all", "b40_sql_lateral", "b40_sql_params",
+        "b40_sql_pipe", "b40_sql_recursive", "b40_sql_udf",
+        "b58_integrity_audit", "b58_snapshot_diff", "b60_bitmap_distinct",
+        "b61_bfs_hops", "b64_bm25_topk", "b64_negative_sampling",
+        "b64_phrase_search", "b64_posexplode", "b64_profile_table",
+        "b65_dedup_keep_best", "b65_domain_mixture",
+        "b65_embedding_covariance", "b65_quality_deciles", "b66_pagerank",
+        "b67_fixed_k_per_group", "b67_mad_outliers", "b67_weighted_sample_topk",
+        "b68_bpe_apply", "b68_bpe_train", "b68_char_entropy", "b69_line_dedup",
+        "b69_text_normalize", "b70_dsir_importance", "b70_memorization_rate",
+        "b70_token_budget_fill", "b71_kmeans_step", "b72_domain_kl",
+        "b72_oov_rate", "b72_semdedup", "b73_substring_dedup",
+        "b73_zscore_normalize", "b74_video_frames", "b75_bloom_filter",
+        "b75_countmin_heavy", "b76_gini_concentration", "b76_ks_test",
+        "b76_winsorized_stats",
+    }
+)
+
+# Round-7 retunes: queries whose Spark/oracle pair changed this round and
+# therefore need a fresh hash-verified driver row even though a historical
+# row exists.
+_RETUNED_IN_R07 = frozenset()
+
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules on first access so the registry is populated.
     from . import queries as _  # noqa: F401
 
     # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
-    # Round-6 window = rank 0 (every query with NO green driver row yet —
-    # the 24 round-5 late registrations + the rewritten b67 + anything new
-    # this round) followed by rank 1 (freshest green evidence round 2 —
-    # four rounds old).  25 + 25 = exactly 50 at the start of round 6;
-    # brand-new round-6 registrations displace rank-1 entries (which keep
-    # their round-2 green rows) rather than any never-verified query.
+    # Round-7 window = rank 0 (new/retuned this round — nothing yet) followed
+    # by rank 1 (the 25 queries whose freshest green evidence is round 2 —
+    # five rounds old) and rank 2 (the 49 round-3-evidence queries, of which
+    # the first 25 by registration order fit).  Every query is driver-green
+    # at least once (r6 verdict), so the window now purely rotates the
+    # OLDEST evidence forward for re-verification; newest evidence (r6) sits
+    # at the back.  Brand-new round-7 registrations displace rank-2 entries
+    # (which keep their round-3 green rows) rather than any stale-evidence
+    # rank-1 query.
     def rank(name: str) -> int:
-        if name in _RETUNED_IN_R06:
+        if name in _RETUNED_IN_R07:
             return 0
+        if name in _DRIVER_GREEN_R06:
+            return 5
         if name in _DRIVER_GREEN_R05:
             return 4
         if name in _DRIVER_GREEN_R04:
