@@ -63,10 +63,14 @@ _KS_BUCKET_WIDTH = 10.0  # events.value spans [0, ~500] → ~50 bounded buckets
     tags=("B10", "llm", "robust"),
     doc="Per-source Gini concentration of document lengths (the data-mixture "
     "inequality diagnostic): G = (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)) over "
-    "ranks i from an (n_chars, doc_id)-ordered per-source window. The "
-    "numerator/denominator stay exact BIGINTs and the ratio ships on a 1e-6 "
-    "grid via floor division (identical DIV/// for non-negative operands) — "
-    "no float anywhere. One range-shuffle for ranks, then bounded output.",
+    "ranks i from an (n_chars, doc_id)-ordered per-source window. The rank-"
+    "weighted sum and the scaled numerator run in DECIMAL(38,0) on the Spark "
+    "side (mirroring DuckDB's HUGEINT sum promotion) — n*Sum(x)*1e6 passes "
+    "int64 around 1e5 10k-char docs per source, so BIGINT intermediates "
+    "would silently wrap in non-ANSI Spark while the oracle survives. The "
+    "ratio ships on a 1e-6 grid via floor division (DECIMAL DIV / HUGEINT "
+    "// agree for non-negative operands) — no float anywhere. One range-"
+    "shuffle for ranks, then bounded output.",
 )
 def b76_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL guard is load-bearing for cross-engine rank parity: Spark sorts
@@ -77,18 +81,22 @@ def b76_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("source").orderBy("x", "doc_id")
     ranked = docs.withColumn("i", F.row_number().over(w))
+    # Per-row i*x fits int64 (rank ~1e9 × chars ~1e5 → 1e14); the SUM and the
+    # *1e6-scaled numerator do not — accumulate in DECIMAL(38,0) so Spark
+    # matches DuckDB's HUGEINT exactly instead of wrapping.
     g = ranked.groupBy("source").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("six"),
     )
     out = g.select(
         "source",
         F.col("n").cast("bigint").alias("n_docs"),
         F.col("sx").cast("bigint").alias("total_chars"),
-        F.expr("CAST((2 * six - (n + 1) * sx) * 1000000 DIV (n * sx) AS BIGINT)").alias(
-            "gini_e6"
-        ),
+        F.expr(
+            "CAST((2 * six - (CAST(n AS DECIMAL(38,0)) + 1) * sx) * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"
+        ).alias("gini_e6"),
     )
     return tiny_sort(out, "source")
 
@@ -122,10 +130,16 @@ def b76_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact two-sample Kolmogorov-Smirnov statistic between the purchase "
     "and view value distributions: D = max_x |F1(x) - F2(x)| computed as the "
     "exact integer max |c1*n2 - c2*n1| over the pooled jump points, shipped "
-    "on a 1e-6 grid by floor division. The Spark cumsum is two-level (per-"
-    "value counts -> fixed-width value buckets cumsum in parallel -> bounded "
-    "bucket-offset relation broadcast back), so no single reducer ever sees "
-    "the full distribution; the DuckDB oracle uses the plain global window.",
+    "on a 1e-6 grid by floor division. The c*n cross-products and the *1e6 "
+    "scaling run in DECIMAL(38,0) on the Spark side (they pass int64 once "
+    "n1*n2 > ~9.2e12, i.e. ~3M samples per side) so the arithmetic matches "
+    "DuckDB's HUGEINT promotion instead of wrapping; d_e6 is therefore exact "
+    "at any corpus size, while the raw d_num DIAGNOSTIC column stays a "
+    "BIGINT report and saturates only past n1*n2 > 9.2e18. The Spark cumsum "
+    "is two-level (per-value counts -> fixed-width value buckets cumsum in "
+    "parallel -> bounded bucket-offset relation broadcast back), so no "
+    "single reducer ever sees the full distribution; the DuckDB oracle uses "
+    "the plain global window.",
 )
 def b76_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events").where(
@@ -157,7 +171,13 @@ def b76_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c2", F.col("ca2") + F.col("off2"))
         .crossJoin(F.broadcast(totals))
     )
-    d = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    # c1*n2 exceeds int64 past ~3M samples per side — run the cross-products
+    # and the magnified ratio in DECIMAL(38,0) (DuckDB already promotes its
+    # BIGINT sums to HUGEINT, so only Spark needed the widening).
+    d = F.abs(
+        F.col("c1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("c2").cast("decimal(38,0)") * F.col("n1")
+    )
     return (
         j.groupBy("n1", "n2")
         .agg(F.max(d).alias("d_num_raw"))
@@ -165,7 +185,10 @@ def b76_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1").cast("bigint").alias("n1"),
             F.col("n2").cast("bigint").alias("n2"),
             F.col("d_num_raw").cast("bigint").alias("d_num"),
-            F.expr("CAST(d_num_raw * 1000000 DIV (n1 * n2) AS BIGINT)").alias("d_e6"),
+            F.expr(
+                "CAST(d_num_raw * 1000000"
+                " DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            ).alias("d_e6"),
         )
     )
 

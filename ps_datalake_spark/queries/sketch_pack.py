@@ -93,8 +93,10 @@ def _cms_seed_values() -> str:
     "occurrence stream pre-reduces to (term, weight) partials map-side, "
     "the weighted inserts fold into the bounded d*w counter grid, and the "
     "point estimate is min over the d rows.  Reported terms are the heavy "
-    "hitters (count > total/1000 — at most 1000 terms at ANY corpus size, "
-    "so the report is bounded, never vocabulary-proportional) with exact "
+    "hitters (count > total/1000, a strict relative-frequency threshold — "
+    "fewer than 1000 terms at ANY corpus size since 1000 disjoint counts "
+    "each strictly above total/1000 would sum past the total, so the report "
+    "is bounded, never vocabulary-proportional) with exact "
     "counts alongside; the overcount column is the sketch's collision "
     "error, >=0 by construction.",
 )
@@ -129,10 +131,10 @@ def b75_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = pairs.groupBy("sb.seed", "sb.bucket").agg(F.sum("exact_cnt").alias("cell_cnt"))
 
-    # Heavy-hitter cut: report only terms above total/1000 — at ANY corpus
-    # size at most 1000 terms clear a relative-frequency threshold, so the
-    # report relation (and its one-task sort) is bounded, never
-    # vocabulary-proportional.
+    # Heavy-hitter cut: report only terms strictly above total/1000 — fewer
+    # than 1000 terms can clear a strict relative-frequency threshold at ANY
+    # corpus size, so the report relation (and its one-task sort) is bounded,
+    # never vocabulary-proportional.
     tot = exact.agg(F.sum("exact_cnt").alias("tot"))
     heavy = (
         exact.crossJoin(F.broadcast(tot))
