@@ -143,6 +143,9 @@ SCALE_QUERIES = [
     # order-statistic clip re-aggregate (4.1 s vs 3.6 s).
     "b75_countmin_heavy",
     "b76_winsorized_stats",
+    # r7: the xxhash64 shingle-width fix dropped the postings shuffle from
+    # 13.1 s (string keys) to ~3 s vs DuckDB's ~5 s — record the curve.
+    "b73_substring_dedup",
 ]
 # 100x probe set (TPC-H tables only are multiplied — see _build_scaled_dir).
 # Extended in r5 beyond q1/q5 to the headline shapes whose ≥10x behavior was
@@ -292,6 +295,12 @@ def _build_scaled_dir(sf_dir: str, factor: int = SCALE_FACTOR,
                 shutil.copy2(os.path.join(sf_dir, f"{t}.parquet"), dst)
     with open(done, "w") as f:
         f.write("ok")
+    # Flush the freshly written corpus to disk BEFORE any timed section: a
+    # cold-cache build leaves gigabytes of dirty pages whose background
+    # writeback competes with the first timed sweeps for I/O (the r6 driver
+    # draw ran every 1000x query above every builder draw — builder runs hit
+    # the cached corpus, the driver's first run built it in-process).
+    os.sync()
     return out
 
 
@@ -618,21 +627,33 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             spark.stop()
             spark = get_spark(app_name="ps-datalake-bench")
 
+    def _sweep_spark_scaled(names, data_dir) -> dict[str, float]:
+        """Three temporally separated min-merged sweeps — the SAME discipline
+        the headline section uses (r6 verdict #2: the scale sections ran two
+        sweeps while the headline ran three, and the driver's 1000x draws all
+        landed above the builder envelope; a single host-noise window spans
+        one sweep, not three)."""
+        out = {n: _time_spark_scaled(n, data_dir) for n in names}
+        for _ in range(2):
+            for n in names:
+                out[n] = min(out[n], _time_spark_scaled(n, data_dir, warmups=1))
+        return out
+
+    def _sweep_duckdb(names, data_dir) -> dict[str, float]:
+        out = _time_duckdb(specs, names, data_dir)
+        for _ in range(2):
+            out = _min_merge(out, _time_duckdb(specs, names, data_dir))
+        return out
+
     try:
         if scale_queries and os.environ.get("SPARK_GRAFT_SCALE10", "1") == "1":
             scaled_dir = _build_scaled_dir(sf_dir)
             _recycle()
             _pretouch(scaled_dir)
             scale_profile = _apply_profile(spark, scaled_dir, cpus, aqe=True)
-            for name in scale_queries:
-                scale_times[name] = _time_spark_scaled(name, scaled_dir)
-            for name in scale_queries:  # second sweep — see _min_merge
-                scale_times[name] = min(
-                    scale_times[name], _time_spark_scaled(name, scaled_dir, warmups=1)
-                )
+            scale_times = _sweep_spark_scaled(scale_queries, scaled_dir)
             _pretouch(scaled_dir)
-            scale_duck = _time_duckdb(specs, scale_queries, scaled_dir)
-            scale_duck = _min_merge(scale_duck, _time_duckdb(specs, scale_queries, scaled_dir))
+            scale_duck = _sweep_duckdb(scale_queries, scaled_dir)
     except Exception as e:
         scale_err = f"{type(e).__name__}: {e}"
 
@@ -652,15 +673,9 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             _recycle()
             _pretouch(s100_dir)
             _apply_profile(spark, s100_dir, cpus, aqe=True)
-            for name in scale100_queries:
-                scale100_times[name] = _time_spark_scaled(name, s100_dir)
-            for name in scale100_queries:  # second sweep — see _min_merge
-                scale100_times[name] = min(
-                    scale100_times[name], _time_spark_scaled(name, s100_dir, warmups=1)
-                )
+            scale100_times = _sweep_spark_scaled(scale100_queries, s100_dir)
             _pretouch(s100_dir)
-            scale100_duck = _time_duckdb(specs, scale100_queries, s100_dir)
-            scale100_duck = _min_merge(scale100_duck, _time_duckdb(specs, scale100_queries, s100_dir))
+            scale100_duck = _sweep_duckdb(scale100_queries, s100_dir)
     except Exception as e:
         scale100_err = f"{type(e).__name__}: {e}"
 
@@ -677,15 +692,9 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             _recycle()
             _pretouch(s300_dir)
             _apply_profile(spark, s300_dir, cpus, aqe=True)
-            for name in SCALE300_QUERIES:
-                scale300_times[name] = _time_spark_scaled(name, s300_dir)
-            for name in SCALE300_QUERIES:  # second sweep — see _min_merge
-                scale300_times[name] = min(
-                    scale300_times[name], _time_spark_scaled(name, s300_dir, warmups=1)
-                )
+            scale300_times = _sweep_spark_scaled(SCALE300_QUERIES, s300_dir)
             _pretouch(s300_dir)
-            scale300_duck = _time_duckdb(specs, SCALE300_QUERIES, s300_dir)
-            scale300_duck = _min_merge(scale300_duck, _time_duckdb(specs, SCALE300_QUERIES, s300_dir))
+            scale300_duck = _sweep_duckdb(SCALE300_QUERIES, s300_dir)
     except Exception as e:
         scale300_err = f"{type(e).__name__}: {e}"
 
@@ -715,15 +724,9 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             _recycle()
             _pretouch(s1000_dir)
             _apply_profile(spark, s1000_dir, cpus, aqe=True)
-            for name in SCALE1000_QUERIES:
-                scale1000_times[name] = _time_spark_scaled(name, s1000_dir)
-            for name in SCALE1000_QUERIES:  # second sweep — see _min_merge
-                scale1000_times[name] = min(
-                    scale1000_times[name], _time_spark_scaled(name, s1000_dir, warmups=1)
-                )
+            scale1000_times = _sweep_spark_scaled(SCALE1000_QUERIES, s1000_dir)
             _pretouch(s1000_dir)
-            scale1000_duck = _time_duckdb(specs, SCALE1000_QUERIES, s1000_dir)
-            scale1000_duck = _min_merge(scale1000_duck, _time_duckdb(specs, SCALE1000_QUERIES, s1000_dir))
+            scale1000_duck = _sweep_duckdb(SCALE1000_QUERIES, s1000_dir)
     except Exception as e:
         scale1000_err = f"{type(e).__name__}: {e}"
 

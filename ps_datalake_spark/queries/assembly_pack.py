@@ -183,7 +183,8 @@ def b70_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Memorization-rate profiling (the Lee et al. dedup diagnostic): per "
     "document, the fraction of its DISTINCT 8-token-grams that appear in "
     ">=2 documents, in parts per million. One posting-list shuffle keyed "
-    "on the gram (cost sum(df^2), never docs^2) plus a per-doc "
+    "on the xxhash64-collapsed gram — 8-byte keys, not 8-word strings "
+    "(cost sum(df^2), never docs^2) plus a per-doc "
     "re-aggregation; all counts exact integers, the ppm ratio is one "
     "double division of identical integers on both engines. Docs with "
     "fewer than 8 tokens contribute no grams and drop out, matching the "
@@ -201,6 +202,13 @@ def b70_memorization_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generate the per-doc-distinct gram postings ONCE (the b64_bm25
     # single-materialization discipline): all three consumers read the
     # checkpointed relation instead of re-deriving the grams per branch
+    # xxhash64 each gram at generation time (the b73 width fix): the
+    # checkpointed postings and both downstream shuffles carry 8-byte keys
+    # instead of 8-word strings, and the per-doc distinct runs over int64s.
+    # Collision safety: 64-bit keys over ~1e8 distinct grams give a ~3e-7
+    # birthday probability of ANY colliding pair; the DuckDB oracle joins on
+    # the exact string, so the driver hash-match independently witnesses
+    # collision-freeness at fixture scale.
     grams = (
         tw.select(
             "doc_id",
@@ -208,7 +216,7 @@ def b70_memorization_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(
                     F.transform(
                         F.sequence(F.lit(1), F.greatest(F.size("ws") - 7, F.lit(0))),
-                        lambda i: F.array_join(F.slice("ws", i, 8), " "),
+                        lambda i: F.xxhash64(F.array_join(F.slice("ws", i, 8), " ")),
                     )
                 )
             ).alias("g"),

@@ -275,7 +275,10 @@ def b60_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "b61_triangle_count",
     oracle="""
-    WITH trade AS (
+    -- MATERIALIZED is load-bearing at scale: the edge CTE is referenced four
+    -- times, and inlining re-derives the full fact-table 4-way join per
+    -- reference (DuckDB spilled >70 GB at the 10x sweep before the hint).
+    WITH trade AS MATERIALIZED (
       SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
                       greatest(c.c_nationkey, s.s_nationkey) AS b
       FROM lineitem l
@@ -463,7 +466,10 @@ def b62_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "b66_pagerank",
     oracle="""
-    WITH e AS (
+    -- MATERIALIZED is load-bearing at scale: the edge CTE feeds nodes, deg,
+    -- and all three iteration joins — inlining re-derives the fact-table
+    -- 4-way join per reference (DuckDB spilled >70 GB at the 10x sweep).
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -293,7 +293,16 @@ _DRIVER_GREEN_R06 = frozenset(
 # intermediates to DECIMAL(38,0) (advisor round-6 items — Spark wrapped in
 # non-ANSI mode past ~3M samples while DuckDB promoted to INT128); values at
 # fixture scale are unchanged but the changed pair earns a fresh row.
-_RETUNED_IN_R07 = frozenset({"b76_gini_concentration", "b76_ks_test"})
+_RETUNED_IN_R07 = frozenset(
+    {
+        "b76_gini_concentration",
+        "b76_ks_test",
+        # gram/shingle keys collapse to xxhash64 before the checkpoint (the
+        # 10x-probe width fix) — Spark-side plan changed, oracle unchanged.
+        "b73_substring_dedup",
+        "b70_memorization_rate",
+    }
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:
