@@ -42,14 +42,32 @@ def test_bench_main_path(spark, sf_dir, capsys, monkeypatch):
     assert payload["floor"]["spark_noop_sec"] > 0
 
 
+# Recorded-curve ceilings at the 100x probe (r6 verdict #6): a q5/top-k plan
+# regression must fail CI here, not surface in the NEXT round's driver
+# artifact.  Values sit above the recorded BENCH_r06 curve (q1 1.84x, rollup
+# 1.93x, q5 2.75x, topk 4.26x) with headroom for draw noise; a plan
+# regression (lost pushdown, extra shuffle, broadcast flip) moves ratios by
+# whole multiples, far past the margin.
+SCALE100_CEILINGS = {
+    "b10_tpch_q1": 2.2,
+    "b13_rollup": 2.2,
+    "b05_tpch_q5": 3.2,
+    "b18_topk": 4.5,
+}
+
+
 def test_bench_full_comparable_ratio_under_bar():
     """The recorded comparable ratio must land under the <=2x BASELINE bar on
     every draw, not half of them (r5 verdict #3: four r5 runs drew
-    1.82-2.24x and the driver recorded 2.04).  Runs `python bench.py` as a
-    SUBPROCESS — the exact process shape, core count, and session lifecycle
-    the driver uses — with the scale probes disabled (they don't feed the
-    comparable ratio).  One retry guards a pathological host-noise draw; two
-    consecutive over-bar draws is a real regression, not noise."""
+    1.82-2.24x and the driver recorded 2.04), and the 100x scale curve must
+    stay under the recorded-curve ceilings (r6 verdict #6).  Runs
+    `python bench.py` as a SUBPROCESS — the exact process shape, core count,
+    and session lifecycle the driver uses — with the 10x/300x/1000x probes
+    disabled (they don't feed either assertion) and the 100x section
+    narrowed to the ceiling queries.  One retry guards a pathological
+    host-noise draw; two consecutive failing draws is a real regression,
+    not noise.  Per-metric min across draws: a noise window hits a whole
+    draw, not one query."""
     import os
     import subprocess
     import sys
@@ -60,24 +78,45 @@ def test_bench_full_comparable_ratio_under_bar():
     env = dict(
         os.environ,
         SPARK_GRAFT_SCALE10="0",
-        SPARK_GRAFT_SCALE100="0",
+        SPARK_GRAFT_SCALE100="1",
+        SPARK_GRAFT_SCALE100_QUERIES=",".join(SCALE100_CEILINGS),
         SPARK_GRAFT_SCALE300="0",
         SPARK_GRAFT_SCALE1000="0",
         SPARK_GRAFT_SF_DIR=sf01,
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ratios = []
+    ratios: list[float | None] = []
+    best100: dict[str, float] = {}
+
+    def _draw_ok(payload) -> bool:
+        ok = (payload["comparable"]["ratio"] or 99) < 2.0
+        s, d = payload["scale100"]["queries"], payload["scale100"]["duckdb"]
+        for q, ceil in SCALE100_CEILINGS.items():
+            if q not in s or q not in d:
+                return False
+            r = s[q] / d[q]
+            best100[q] = min(best100.get(q, r), r)
+            ok = ok and best100[q] <= ceil
+        return ok
+
     for _ in range(2):
         proc = subprocess.run(
             [sys.executable, os.path.join(repo, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=900, cwd=repo,
+            env=env, capture_output=True, text=True, timeout=1800, cwd=repo,
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        ratio = json.loads(line)["comparable"]["ratio"]
-        ratios.append(ratio)
-        if ratio is not None and ratio < 2.0:
+        payload = json.loads(line)
+        assert payload["scale100"]["error"] is None, payload["scale100"]["error"]
+        ratios.append(payload["comparable"]["ratio"])
+        if _draw_ok(payload):
             break
     assert any(r is not None and r < 2.0 for r in ratios), (
         f"comparable ratio over the 2x bar on every draw: {ratios}"
+    )
+    over = {q: round(best100[q], 2) for q, c in SCALE100_CEILINGS.items()
+            if best100.get(q, 99) > c}
+    assert not over, (
+        f"100x curve over recorded ceilings {SCALE100_CEILINGS} on every "
+        f"draw: {over}"
     )
