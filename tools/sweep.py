@@ -6,13 +6,22 @@ claims.  For every registered query it replays the driver comparison
 a JSON summary.
 
 Usage:
-    python tools/sweep.py [--dir DIR] [--skip-heavy] [--only a,b,c]
+    python tools/sweep.py [--dir DIR] [--skip-heavy] [--full-heavy] [--only a,b,c]
 
---skip-heavy omits the three queries whose ORACLE side dominates sweep wall
-time (b35_dedup_clusters 1334 s, b36_cosine_neardup 597 s, b35_jaccard_pairs
-536 s at the 10x corpus — each is the oracle's all-pairs SQL, with the Spark
-side a small fraction); use it for quick re-verification passes, and run the
-full sweep (default) when recording a SURVEY claim.
+The three queries whose ORACLE side dominates sweep wall time
+(b35_dedup_clusters 1334 s, b36_cosine_neardup 597 s, b35_jaccard_pairs 536 s
+at the 10x corpus — each is the oracle's all-pairs SQL, with the Spark side a
+small fraction) are by default compared on the COPY-0 SUBSET of a scaled
+corpus (documents/embeddings filtered back to the base population, other
+tables shared): the oracle semantics are identical — same SQL, same engine
+plan shapes, every row still value-compared — only the all-pairs population
+the O(n²) oracle enumerates shrinks to base size (r6 verdict #9).  Full-size
+ENGINE evidence for these shapes lives in the bench scale10 section and the
+r6 full sweep (221/223, zero engine failures).  Flags:
+
+--full-heavy  run the heavy oracles on the full dir anyway (the from-scratch
+              claim-recording mode; costs ~40 min oracle-side at 10x)
+--skip-heavy  omit the heavy three entirely (quickest re-verification)
 """
 
 from __future__ import annotations
@@ -29,6 +38,56 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 HEAVY_ORACLES = ("b35_dedup_clusters", "b36_cosine_neardup", "b35_jaccard_pairs")
 
+# Tables the heavy oracles enumerate all-pairs over, with the id column whose
+# copy-offset (bench._SCALED_SQL: id + copy * 10_000_000) identifies copy 0.
+_SUBSET_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+_COPY0_BOUND = 10_000_000
+
+
+def _heavy_subset_dir(data_dir: str) -> str | None:
+    """Copy-0 subset of a scaled corpus for the heavy O(n²) oracles: filter
+    documents/embeddings back to the base population (ids below the first
+    copy offset), share every other table.  Returns None when data_dir is
+    already base-sized (no id reaches the copy offset) — then the full oracle
+    runs directly, which IS the r6-verdict 'full oracle at sf0.1' semantics.
+    Cached inside the scaled dir (content-keyed by its parent's cache key)."""
+    import duckdb
+
+    import bench
+
+    con = duckdb.connect()
+    try:
+        scaled = False
+        for t, key in _SUBSET_TABLES.items():
+            mx = con.execute(
+                f"SELECT max({key}) FROM read_parquet('{data_dir}/{t}.parquet')"
+            ).fetchone()[0]
+            if mx is not None and mx >= _COPY0_BOUND:
+                scaled = True
+        if not scaled:
+            return None
+        out = os.path.join(data_dir, "copy0_subset")
+        done = os.path.join(out, "_DONE")
+        if not os.path.exists(done):
+            os.makedirs(out, exist_ok=True)
+            for t, key in _SUBSET_TABLES.items():
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{data_dir}/{t}.parquet')"
+                    f" WHERE {key} < {_COPY0_BOUND})"
+                    f" TO '{out}/{t}.parquet' (FORMAT parquet)"
+                )
+            for t in bench.SCALE_TABLES:
+                if t in _SUBSET_TABLES:
+                    continue
+                dst = os.path.join(out, f"{t}.parquet")
+                if not os.path.exists(dst):
+                    os.symlink(os.path.join(data_dir, f"{t}.parquet"), dst)
+            with open(done, "w") as f:
+                f.write("ok")
+        return out
+    finally:
+        con.close()
+
 
 def default_scale10_dir() -> str:
     import bench
@@ -44,6 +103,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default=None, help="data dir (default: cached 10x corpus)")
     ap.add_argument("--skip-heavy", action="store_true")
+    ap.add_argument("--full-heavy", action="store_true",
+                    help="run heavy oracles on the full dir (no copy-0 subset)")
     ap.add_argument("--only", default=None, help="comma-separated query names")
     args = ap.parse_args()
 
@@ -63,23 +124,35 @@ def main() -> int:
         skipped = [n for n in names if n in HEAVY_ORACLES]
         names = [n for n in names if n not in HEAVY_ORACLES]
 
+    subset_dir: str | None = None
+    if not args.full_heavy and not args.skip_heavy and any(
+        n in HEAVY_ORACLES for n in names
+    ):
+        subset_dir = _heavy_subset_dir(data_dir)
+
     spark = get_spark(app_name="ps-datalake-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     t_start = time.time()
-    ok, bad = [], {}
+    ok, bad, subset_used = [], {}, []
     for i, name in enumerate(names, 1):
         t0 = time.time()
+        cmp_dir = data_dir
+        tag = ""
+        if name in HEAVY_ORACLES and subset_dir is not None:
+            cmp_dir = subset_dir
+            tag = " [copy0-subset]"
+            subset_used.append(name)
         try:
-            problems = compare(specs[name], spark, data_dir)
+            problems = compare(specs[name], spark, cmp_dir)
         except Exception as e:  # noqa: BLE001 — a sweep must record, not die
             problems = [f"{type(e).__name__}: {e}"]
         dt = round(time.time() - t0, 1)
         if problems:
             bad[name] = problems
-            print(f"[{i}/{len(names)}] {name} FAIL ({dt}s): {problems}", flush=True)
+            print(f"[{i}/{len(names)}] {name} FAIL{tag} ({dt}s): {problems}", flush=True)
         else:
             ok.append(name)
-            print(f"[{i}/{len(names)}] {name} ok ({dt}s)", flush=True)
+            print(f"[{i}/{len(names)}] {name} ok{tag} ({dt}s)", flush=True)
     spark.stop()
     summary = {
         "dir": data_dir,
@@ -87,6 +160,7 @@ def main() -> int:
         "ok": len(ok),
         "fail": {n: p for n, p in bad.items()},
         "skipped_heavy": skipped,
+        "heavy_copy0_subset": subset_used,
         "wall_min": round((time.time() - t_start) / 60, 1),
     }
     print(json.dumps(summary))
