@@ -27,4 +27,5 @@ from . import assembly_pack  # noqa: F401
 from . import semantic_pack  # noqa: F401
 from . import sketch_pack  # noqa: F401
 from . import robust_pack  # noqa: F401
+from . import eval_pack  # noqa: F401
 from . import lake_ops  # noqa: F401

@@ -356,6 +356,29 @@ def test_ngram_dedup_dupset_join_never_broadcasts(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_eval_pack_plan_shapes(spark, sf_dir):
+    """Round-7 eval pack scale shapes.  b77_roc_auc's two rank windows use
+    the min+max rank identity precisely so both partition by `source` —
+    ONE hash exchange must feed the windows AND the downstream
+    groupBy(source) (re-sorts are fine, re-shuffles are not).  The ECE and
+    quota queries reduce the corpus in one map-side-combined aggregation;
+    quota's corpus total attaches as a broadcast."""
+    auc = _formatted_plan(SPECS["b77_roc_auc"].build(spark, sf_dir))
+    assert "CartesianProduct" not in auc
+    assert "BatchEvalPython" not in auc
+    assert auc.count("hashpartitioning(source") == 1, (
+        "rank windows + groupBy must share one source-partitioned exchange"
+    )
+    for name in ("b77_calibration_ece", "b77_quota_allocation"):
+        plan = _formatted_plan(SPECS[name].build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    quota = _formatted_plan(SPECS["b77_quota_allocation"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in quota, (
+        "1-row corpus total must attach as a broadcast"
+    )
+
+
 def test_bitmap_distinct_avoids_expand(spark, sf_dir):
     """b60_bitmap_distinct's whole point: exact NDV through constant-size
     bitmap partials instead of count_distinct's Expand plan — the bitmap
