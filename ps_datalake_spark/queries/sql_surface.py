@@ -320,3 +320,88 @@ def b40_sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b40_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("part",))
     return spark.sql(_RECURSIVE_SQL.format(DIV="DIV"))
+
+
+_VARIABLES_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_totalprice > {cutoff}
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+# Exact cross-engine threshold: max() is exact on DOUBLE and * 0.5 is a
+# binary-exact scale, so both engines compute the IDENTICAL cutoff — an
+# avg()-derived cutoff could differ in the last ulp between engines and
+# flip boundary rows (the repo-wide no-float-boundary rule).
+_CUTOFF_SQL = "(SELECT max(o_totalprice) * 0.5 FROM orders)"
+
+
+@query(
+    "b40_sql_variables",
+    oracle=_VARIABLES_SQL.format(cutoff=_CUTOFF_SQL),
+    tags=("B1", "sql"),
+    doc="Session variables (DECLARE VARIABLE / SET VAR, new in Spark 4): "
+    "the cutoff scalar is computed once into a session variable and "
+    "referenced by name in the query; the oracle inlines the identical "
+    "scalar subquery. Exact max()*0.5 threshold — no float boundary.",
+)
+def b40_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE price_cutoff DOUBLE")
+    spark.sql(f"SET VAR price_cutoff = {_CUTOFF_SQL}")
+    return spark.sql(_VARIABLES_SQL.format(cutoff="price_cutoff"))
+
+
+_COLLATION_SPARK_SQL = """
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                  ELSE lower(p_type) END AS typ,
+             p_retailprice
+      FROM part
+    )
+    SELECT lower(collate(typ, 'UTF8_LCASE')) AS type_ci,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT collate(typ, 'UTF8_BINARY')) AS BIGINT)
+             AS n_casings,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM mixed
+    GROUP BY collate(typ, 'UTF8_LCASE')
+    ORDER BY type_ci
+    """
+
+_COLLATION_ORACLE_SQL = """
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                  ELSE lower(p_type) END AS typ,
+             p_retailprice
+      FROM part
+    )
+    SELECT lower(typ) AS type_ci,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT typ) AS BIGINT) AS n_casings,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM mixed
+    GROUP BY lower(typ)
+    ORDER BY type_ci
+    """
+
+
+@query(
+    "b40_sql_collation",
+    oracle=_COLLATION_ORACLE_SQL,
+    tags=("B21", "sql"),
+    doc="String collations (new in Spark 4): grouping under UTF8_LCASE "
+    "merges casings WITHOUT rewriting values (the group key keeps its "
+    "collation; the projection lower()s it only to pin a deterministic "
+    "representative), while a nested UTF8_BINARY distinct counts the "
+    "casings each group absorbed. Oracle expresses the same semantics "
+    "via lower()-normalization, which UTF8_LCASE coincides with on this "
+    "ASCII fixture (collation is the scalable form: comparison-level, "
+    "no value rewrite, locale-correct beyond ASCII).",
+)
+def b40_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(_COLLATION_SPARK_SQL)
