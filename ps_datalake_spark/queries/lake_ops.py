@@ -426,3 +426,55 @@ def b38_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_current bigint, n_snapshot bigint, "
         "vacuumed_chunk_in_snapshot boolean, vacuumed_chunk_in_current boolean",
     )
+
+
+# Sentinel chunk's recorded plaintext size: len(SENTINEL) + inline_max
+# (Store.create writes SENTINEL + zero padding to inline_max; see
+# lake/store.py create()).  Keep in sync with lake.store.
+_SENTINEL_PLAIN_SIZE = 30 + _RAW_MAX
+
+
+@query(
+    "b78_pslake_source",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT sha256(text) AS h, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > {_RAW_MAX}
+    )
+    SELECT CAST(count(*) + 1 AS BIGINT) AS n_chunks,
+           CAST(sum(n) + {_SENTINEL_PLAIN_SIZE} AS BIGINT) AS plain_bytes,
+           CAST(0 AS BIGINT) AS hash_violations
+    FROM d
+    """,
+    tags=("B1", "B38", "lake"),
+    doc="The chunk store as a first-class Spark data source (Python Data "
+    "Source API, new in Spark 4): spark.read.format('pslake') plans one "
+    "input partition per chunk parquet file (the store's hash_prefix "
+    "fan-out becomes Spark's partition planning — per-file parallel, zero "
+    "shuffle) and sha256-verifies every chunk's address in the reader (the "
+    "reference's open-validation walk, store/mod.rs:412-414). Oracle "
+    "predicts chunk count (+1 sentinel), recorded plaintext bytes, and "
+    "zero hash violations from the documents table — convergent "
+    "encryption makes distinct ciphertexts equal distinct plaintexts, and "
+    "both ciphers are length-metadata-preserving on the recorded size "
+    "column. Docs at fixture scale stay below the tree-split threshold, "
+    "the same guard every b38 oracle relies on.",
+)
+def b78_pslake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _stable_store(spark, "q_store_addr", sf_dir)
+    store.put_blobs(_doc_blobs(spark, sf_dir)).count()
+
+    from ..sources import PsLakeDataSource
+
+    spark.dataSource.register(PsLakeDataSource)
+    df = (
+        spark.read.format("pslake")
+        .option("path", store.path)
+        .option("verify", "true")
+        .load()
+    )
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("size").cast("bigint").alias("plain_bytes"),
+        F.sum(1 - F.col("hash_ok")).cast("bigint").alias("hash_violations"),
+    )

@@ -1,0 +1,123 @@
+"""``pslake`` — the content-addressed chunk store as a first-class Spark
+data source (Python Data Source API, new in Spark 4).
+
+    spark.dataSource.register(PsLakeDataSource)
+    df = (spark.read.format("pslake")
+          .option("path", store_dir)
+          .option("verify", "true")      # sha256 every chunk in the reader
+          .option("generation", "0")     # or "-1": time-travel snapshot
+          .load())
+
+One row per stored chunk: ``(hash, hash_prefix, size, enc, stored_len,
+hash_ok)``.  ``size`` is the recorded PLAINTEXT size, ``stored_len`` the
+on-disk (possibly ciphertext) length, ``hash_ok`` the reader-side
+verification that sha256(stored bytes) equals the chunk's address — the
+reference's open-validation walk (store/mod.rs:412-414) surfaced through
+Spark's own source API instead of a bespoke catalog call.
+
+Scale design: ``partitions()`` does driver-side FILE LISTING only (no data
+reads) and emits one InputPartition per chunk parquet file — the store's
+hash_prefix directory fan-out (A6 bucket hash) becomes Spark's partition
+planning, so a 1000-executor cluster verifies a 100 TB store with
+per-file parallelism and zero shuffle.  ``read()`` streams record batches
+through pyarrow and never materializes more than one batch of chunk bytes
+per task.  The blob payload itself is deliberately NOT a result column —
+verification consumes it inside the reader; shipping it would serialize
+the whole store through the driver-facing result path.
+
+Generation handling mirrors Store._active_path / chunks_at: the active
+pointer is re-read from manifest.json at plan time, ``generation=-1``
+resolves the retained pre-maintenance snapshot (time travel).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_SCHEMA = (
+    "hash string, hash_prefix string, size bigint, enc string, "
+    "stored_len bigint, hash_ok int"
+)
+
+
+class _ChunkFilePartition(InputPartition):
+    def __init__(self, file_path: str, prefix: str):
+        self.file_path = file_path
+        self.prefix = prefix
+
+
+def _resolve_chunks_dir(store_path: str, generation: int) -> str:
+    manifest_path = os.path.join(store_path, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    if manifest.get("magic") != "datalake/v1":  # Store.sniff's magic check
+        raise ValueError(f"not a ps-datalake store: {store_path}")
+    if generation == 0:
+        sub = manifest.get("chunks_dir") or "chunks"
+    elif generation == -1:
+        sub = manifest.get("chunks_prev_dir")
+        if not sub:
+            raise ValueError("no previous chunks generation (no maintenance op has run)")
+    else:
+        raise ValueError(f"only generations 0 and -1 are retained, got {generation}")
+    return os.path.join(store_path, sub)
+
+
+def _list_chunk_files(chunks_dir: str) -> list[tuple[str, str]]:
+    """(file, hash_prefix) pairs under the generation dir.  The prefix is a
+    DIRECTORY key (written via partitionBy), not a file column."""
+    out: list[tuple[str, str]] = []
+    if not os.path.isdir(chunks_dir):
+        return out
+    for entry in sorted(os.listdir(chunks_dir)):
+        full = os.path.join(chunks_dir, entry)
+        if entry.startswith("hash_prefix=") and os.path.isdir(full):
+            prefix = entry.split("=", 1)[1]
+            for f in sorted(os.listdir(full)):
+                if f.endswith(".parquet"):
+                    out.append((os.path.join(full, f), prefix))
+    return out
+
+
+class PsLakeReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("pslake source requires .option('path', <store dir>)")
+        self.chunks_dir = _resolve_chunks_dir(path, int(options.get("generation", "0")))
+        self.verify = str(options.get("verify", "true")).lower() != "false"
+
+    def partitions(self):
+        return [_ChunkFilePartition(f, p) for f, p in _list_chunk_files(self.chunks_dir)]
+
+    def read(self, partition: _ChunkFilePartition):
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.file_path)
+        for batch in pf.iter_batches(columns=["hash", "size", "enc", "data"]):
+            hashes = batch.column("hash").to_pylist()
+            sizes = batch.column("size").to_pylist()
+            encs = batch.column("enc").to_pylist()
+            datas = batch.column("data").to_pylist()
+            for h, s, e, d in zip(hashes, sizes, encs, datas):
+                raw = bytes(d) if d is not None else b""
+                ok = 1
+                if self.verify:
+                    ok = 1 if hashlib.sha256(raw).hexdigest() == h else 0
+                yield (h, partition.prefix, int(s), e, len(raw), ok)
+
+
+class PsLakeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pslake"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> PsLakeReader:
+        return PsLakeReader(self.options)
