@@ -478,3 +478,41 @@ def b78_pslake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size").cast("bigint").alias("plain_bytes"),
         F.sum(1 - F.col("hash_ok")).cast("bigint").alias("hash_violations"),
     )
+
+
+@query(
+    "b78_pslake_stream",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT sha256(text) AS h, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > {_RAW_MAX}
+    )
+    SELECT CAST(count(*) + 1 AS BIGINT) AS n_chunks,
+           CAST(sum(n) + {_SENTINEL_PLAIN_SIZE} AS BIGINT) AS plain_bytes
+    FROM d
+    """,
+    tags=("B1", "B38", "lake", "streaming"),
+    doc="Streaming read FROM the lake (the complement of b38_stream_ingest): "
+    "Spark's NATIVE file stream source over the store's active chunks "
+    "generation — no custom stream reader; the file source's own tracking "
+    "log handles append discovery, exactly the Spark-first answer for an "
+    "append-only parquet layout. availableNow drains the current "
+    "generation into a complete-mode aggregate; the oracle predicts chunk "
+    "count and recorded plaintext bytes from documents, as "
+    "b78_pslake_source does for the batch path.",
+)
+def b78_pslake_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake.store import CHUNKS_SCHEMA
+    from ..sources.pslake_source import _resolve_chunks_dir
+    from .event_windows import _run_to_memory
+
+    store = _stable_store(spark, "q_store_addr", sf_dir)
+    store.put_blobs(_doc_blobs(spark, sf_dir)).count()
+
+    chunks_dir = _resolve_chunks_dir(store.path, 0)
+    stream = spark.readStream.schema(CHUNKS_SCHEMA).parquet(chunks_dir)
+    agg = stream.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("size").cast("bigint").alias("plain_bytes"),
+    )
+    return _run_to_memory(agg, "complete")
