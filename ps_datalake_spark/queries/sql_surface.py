@@ -405,3 +405,59 @@ _COLLATION_ORACLE_SQL = """
 def b40_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("part",))
     return spark.sql(_COLLATION_SPARK_SQL)
+
+
+@query(
+    "b79_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_large,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS max_price
+    FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+    """,
+    tags=("B1", "sql"),
+    doc="Pipeline observability via the Observation API (df.observe): the "
+    "metrics accumulate ON the pass the pipeline already runs — zero extra "
+    "scans, zero shuffles, collected driver-side from task-completion "
+    "events, the mechanism a 100 TB ingest uses for row-count/quality "
+    "telemetry without a second aggregation job. The observed pipeline "
+    "here is a filtered scan driven by a noop write; the oracle computes "
+    "the identical metrics as a plain aggregate.",
+)
+def b79_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ..io import load_table
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    )
+    obs = Observation("ingest_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 100000, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_large"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price_dec"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("max_price_dec"),
+    )
+    # the action IS the pipeline's own write — metrics ride along for free
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_large"]),
+                float(m["total_price_dec"]),
+                float(m["max_price_dec"]),
+            )
+        ],
+        "n_rows bigint, n_large bigint, total_price double, max_price double",
+    )
