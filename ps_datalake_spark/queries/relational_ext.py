@@ -272,3 +272,47 @@ def b54_fuzzy_name_match(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "b80_jsonl_gz_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("B1", "llm"),
+    doc="Gzipped-JSONL corpus ingest — the format LLM training corpora "
+    "actually arrive in (C4/Pile-style doc-per-line shards): documents "
+    "written as 8 .json.gz shards, read back with an explicit schema, "
+    "aggregated per language. SCALE NOTE carried in the plan, not just "
+    "prose: gzip is NOT splittable — Spark assigns one task per .gz file "
+    "regardless of size, so corpus parallelism = shard count; the writer "
+    "side repartition(8) IS the sharding decision, exactly how a 100 TB "
+    "delivery must arrive as many-GB-not-one-TB shards. Explicit read "
+    "schema skips the inference pass (one full decompress scan saved).",
+)
+def b80_jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import scratch_dir
+
+    path = scratch_dir("jsonl_gz_ingest")
+    docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    # repartition = shard-count decision: each .gz file is one read task
+    docs.repartition(8).write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
