@@ -619,3 +619,75 @@ def video_features(video_df: DataFrame, every_nth: int = 5) -> DataFrame:
             yield pd.DataFrame(out)
 
     return video_df.mapInPandas(_features, VIDEO_FEATURES_SCHEMA)
+
+
+def encode_ppm_pattern(width: int, height: int, pattern_id: int, shift: int = 0) -> bytes:
+    """Binary PPM with a deterministic grayscale pattern keyed by
+    ``pattern_id``: pixel(x, y) = (31x + 17y + 7·id) mod 201 (+shift).
+
+    The modular wrap makes distinct ids produce genuinely different images
+    (not a constant offset of each other), while ``shift`` applied ON TOP is
+    a strictly monotone brightness change (base ∈ [0, 200], shift ≤ 55 keeps
+    every value < 256 — no clipping, so per-pixel ORDER is preserved
+    exactly, which is what makes an average-hash invariant to it)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+    v = ((31 * x + 17 * y + 7 * pattern_id) % 201 + shift).astype(np.uint8)
+    img = np.stack([v, v, v], axis=-1)
+    return f"P6\n{width} {height}\n255\n".encode() + img.tobytes()
+
+
+AHASH_SCHEMA = "id bigint, ahash bigint, width bigint, height bigint"
+
+
+def image_ahash(blobs: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over DECODED pixels (dHash/aHash family —
+    the image-dedup workhorse): decode → grayscale → grid×grid block means
+    → one bit per block (mean > global mean) → packed int64.
+
+    Invariance by construction: any strictly monotone per-pixel brightness
+    map (e.g. +k without clipping) shifts every block mean AND the global
+    mean identically, so every comparison bit — and hence the hash — is
+    unchanged.  Exact-duplicate and brightness-shifted images therefore
+    collide deterministically, while the modular test pattern gives
+    distinct ids distinct hashes.
+
+    Scale shape: one Arrow-batched mapInPandas pass (no shuffle); dedup on
+    the emitted hash is a plain hash-keyed join/groupBy — never pairwise
+    over images."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"id": [], "ahash": [], "width": [], "height": []}
+            for rid, data in zip(pdf["id"], pdf["data"]):
+                raw = bytes(data)
+                if raw[:2] == b"BM":
+                    img = _parse_bmp(raw)
+                elif raw[:2] == b"P6":
+                    img = _parse_ppm(raw)
+                elif raw[:2] == b"\x89P":
+                    img = _parse_png(raw)
+                else:
+                    raise ValueError(f"unknown image magic {raw[:2]!r} for id {rid}")
+                gray = img.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                blocks = np.array(
+                    [
+                        [b.mean() for b in np.array_split(row_band, grid, axis=1)]
+                        for row_band in np.array_split(gray, grid, axis=0)
+                    ]
+                )
+                bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
+                acc = np.uint64(0)
+                for bit in bits:
+                    acc = np.uint64(acc << np.uint64(1)) | bit
+                out["id"].append(rid)
+                out["ahash"].append(int(acc.astype(np.int64)))  # two's complement
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_hash, AHASH_SCHEMA)

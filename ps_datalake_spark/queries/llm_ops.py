@@ -1489,3 +1489,60 @@ def b74_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_luma"),
     )
     return tiny_sort(out, "id")
+
+
+@query(
+    "b81_image_ahash_dedup",
+    # planted brightness-shifted duplicates have IDENTICAL aHash by
+    # construction (strictly monotone shift, no clipping) — recall 1,
+    # hamming exactly 0, SQL-predictable like b35_simhash's planted pairs
+    oracle="""
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+    FROM documents WHERE doc_id < 10
+    ORDER BY id_a
+    """,
+    tags=("B35", "B39", "llm", "multimodal"),
+    doc="Perceptual image dedup over REAL decoded pixels: deterministic "
+    "16x16 PPM pattern per doc_id (modular wrap — distinct ids give "
+    "genuinely different images), 10 planted brightness-shifted (+50, no "
+    "clipping) copies, aHash (8x8 block means > global mean, packed "
+    "int64) via one Arrow-batched mapInPandas pass, dedup as a plain "
+    "hash-keyed join — never pairwise over images. A monotone brightness "
+    "map preserves every comparison bit, so planted recall is 1 by "
+    "construction; the scored hamming is exactly 0.",
+)
+def b81_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    ids = T(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    planted = ids.where(F.col("id") < 10).select(
+        (F.col("id") + F.lit(100000)).alias("id")
+    )
+    all_ids = ids.unionByName(planted)
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            data = [
+                MM.encode_ppm_pattern(
+                    16, 16, int(i) % 100000, shift=50 if int(i) >= 100000 else 0
+                )
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame({"id": pdf["id"], "data": data})
+
+    blobs = all_ids.mapInPandas(_gen, "id bigint, data binary")
+    hashes = MM.image_ahash(blobs, grid=8)
+    left = hashes.select(F.col("id").alias("id_a"), F.col("ahash").alias("h_a"))
+    right = hashes.where(F.col("id") >= 100000).select(
+        F.col("id").alias("id_b"), F.col("ahash").alias("h_b")
+    )
+    pairs = left.join(right, left.h_a == right.h_b).where(
+        F.col("id_b") - F.col("id_a") == 100000
+    )
+    return pairs.select(
+        "id_a", "id_b", F.lit(0).cast("bigint").alias("hamming")
+    ).orderBy("id_a")
