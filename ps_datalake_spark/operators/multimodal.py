@@ -641,6 +641,27 @@ def encode_ppm_pattern(width: int, height: int, pattern_id: int, shift: int = 0)
 AHASH_SCHEMA = "id bigint, ahash bigint, width bigint, height bigint"
 
 
+def ahash_int(img, grid: int = 8) -> int:
+    """Pure per-image aHash: grayscale → grid×grid block means → one bit per
+    block (mean > global mean) → packed int64 (two's complement).  Invariant
+    under any strictly monotone per-pixel brightness map (every block mean
+    and the global mean shift identically)."""
+    import numpy as np
+
+    gray = img.astype(np.float64).mean(axis=2)
+    blocks = np.array(
+        [
+            [b.mean() for b in np.array_split(row_band, grid, axis=1)]
+            for row_band in np.array_split(gray, grid, axis=0)
+        ]
+    )
+    bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
+    acc = np.uint64(0)
+    for bit in bits:
+        acc = np.uint64(acc << np.uint64(1)) | bit
+    return int(acc.astype(np.int64))
+
+
 def image_ahash(blobs: DataFrame, grid: int = 8) -> DataFrame:
     """Perceptual average-hash over DECODED pixels (dHash/aHash family —
     the image-dedup workhorse): decode → grayscale → grid×grid block means
@@ -658,8 +679,6 @@ def image_ahash(blobs: DataFrame, grid: int = 8) -> DataFrame:
     over images."""
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             out = {"id": [], "ahash": [], "width": [], "height": []}
             for rid, data in zip(pdf["id"], pdf["data"]):
@@ -672,20 +691,9 @@ def image_ahash(blobs: DataFrame, grid: int = 8) -> DataFrame:
                     img = _parse_png(raw)
                 else:
                     raise ValueError(f"unknown image magic {raw[:2]!r} for id {rid}")
-                gray = img.astype(np.float64).mean(axis=2)
-                h, w = gray.shape
-                blocks = np.array(
-                    [
-                        [b.mean() for b in np.array_split(row_band, grid, axis=1)]
-                        for row_band in np.array_split(gray, grid, axis=0)
-                    ]
-                )
-                bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
-                acc = np.uint64(0)
-                for bit in bits:
-                    acc = np.uint64(acc << np.uint64(1)) | bit
+                h, w = img.shape[0], img.shape[1]
                 out["id"].append(rid)
-                out["ahash"].append(int(acc.astype(np.int64)))  # two's complement
+                out["ahash"].append(ahash_int(img, grid))
                 out["width"].append(w)
                 out["height"].append(h)
             yield pd.DataFrame(out)
