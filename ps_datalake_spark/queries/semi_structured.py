@@ -441,3 +441,61 @@ def b27_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_long(xml, F.lit("/ROW/event_id")).alias("xp_id"),
         F.xpath_string(xml, F.lit("/ROW/event_type")).alias("xp_type"),
     ).orderBy("event_id")
+
+
+@query(
+    "b82_udtf_polymorphic",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents
+      WHERE doc_id < 30 AND text IS NOT NULL AND length(trim(text)) > 0
+    )
+    SELECT doc_id, ws[1] AS w0, ws[2] AS w1, ws[3] AS w2, ws[4] AS w3
+    FROM d ORDER BY doc_id
+    """,
+    tags=("B28", "sql"),
+    doc="POLYMORPHIC Python UDTF (Spark 4: the static analyze() method "
+    "computes the output schema AT PLAN TIME from the call's literal "
+    "arguments — here k=4 becomes four typed columns w0..w3), the "
+    "schema-from-arguments half of the UDTF API that b28_udtf_chunks' "
+    "fixed returnType does not exercise. Catalyst sees real resolved "
+    "columns, so downstream pruning/pushdown work normally. Oracle is the "
+    "fixed 4-column list indexing; whitespace-only docs are filtered on "
+    "both sides (python str.split vs regex-split divergence on empties).",
+)
+def b82_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FixedSplit:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)
+            return AnalyzeResult(
+                schema=StructType(
+                    [StructField(f"w{i}", StringType()) for i in range(n)]
+                )
+            )
+
+        def eval(self, text: str, k: int):
+            ws = (text or "").split()
+            yield tuple(ws[i] if i < len(ws) else None for i in range(int(k)))
+
+    spark.udtf.register("ps_fixed_split", FixedSplit)
+    T(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 30)
+        & F.col("text").isNotNull()
+        & (F.length(F.trim("text")) > 0)
+    ).select("doc_id", F.trim("text").alias("t")).createOrReplaceTempView(
+        "udtf_poly_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, s.*
+        FROM udtf_poly_docs, LATERAL ps_fixed_split(t, 4) s
+        ORDER BY doc_id
+        """
+    )
