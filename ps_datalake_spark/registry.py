@@ -310,8 +310,8 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import queries as _  # noqa: F401
 
     # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
-    # Round-7 window = rank 0 (new/retuned this round: the b77 eval pack and
-    # the four _RETUNED_IN_R07 overflow/width fixes) followed
+    # Round-7 window = rank 0 (new/retuned this round: the 11 new b77-b82 /
+    # b40 surfaces and the four _RETUNED_IN_R07 overflow/width fixes) followed
     # by rank 1 (the 25 queries whose freshest green evidence is round 2 —
     # five rounds old) and rank 2 (the 49 round-3-evidence queries, of which
     # the first 25 by registration order fit).  Every query is driver-green
