@@ -648,6 +648,10 @@ def ahash_int(img, grid: int = 8) -> int:
     and the global mean shift identically)."""
     import numpy as np
 
+    if grid * grid > 64:
+        # The np.uint64 accumulator holds exactly 64 bits; a larger grid
+        # would silently wrap and hash only the last 64 blocks.
+        raise ValueError(f"grid {grid}x{grid} exceeds the 64-bit hash width")
     gray = img.astype(np.float64).mean(axis=2)
     blocks = np.array(
         [

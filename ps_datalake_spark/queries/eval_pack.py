@@ -111,8 +111,10 @@ def b77_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("s2"),
     )
-    # s2 ≤ 2·n², so s2·1e6 passes int64 near n ~ 3M rows per source — the
-    # DECIMAL(38,0) route mirrors DuckDB's HUGEINT promotion (b76 rule).
+    # s2 ≤ 2·n², so s2·1e6 OVERFLOWS int64 near n ~ 2M rows per source
+    # (2·(2e6)²·1e6 ≈ 8e18 vs the 9.2e18 max) — hence the DECIMAL(38,0)
+    # widening below, mirroring DuckDB's HUGEINT promotion (b76 rule).
+    # Do not simplify the cast away: it is load-bearing past fixture scale.
     out = g.select(
         "source",
         "n_pos",

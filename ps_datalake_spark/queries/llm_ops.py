@@ -1517,6 +1517,17 @@ def b81_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     ids = T(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    # Loud fixture-growth guard (1-row scalar, column-pruned agg): the
+    # planted ids live at base_id + 100000 and the pattern is id % 100000,
+    # so a base doc_id >= 100000 would alias the planted range and corrupt
+    # the planted-pair oracle SILENTLY (spurious hash-equal pairs).  Fail
+    # loudly instead; the oracle hardcodes the +100000 offset, so the offset
+    # cannot be derived dynamically.
+    max_id = ids.agg(F.max("id").alias("m")).collect()[0]["m"]
+    if max_id is not None and max_id >= 100000:
+        raise ValueError(
+            f"b81 planted-id offset 100000 aliased: max base doc_id {max_id}"
+        )
     planted = ids.where(F.col("id") < 10).select(
         (F.col("id") + F.lit(100000)).alias("id")
     )

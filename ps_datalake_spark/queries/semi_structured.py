@@ -462,7 +462,8 @@ def b27_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixed returnType does not exercise. Catalyst sees real resolved "
     "columns, so downstream pruning/pushdown work normally. Oracle is the "
     "fixed 4-column list indexing; whitespace-only docs are filtered on "
-    "both sides (python str.split vs regex-split divergence on empties).",
+    "both sides, and eval() splits on an explicit ASCII whitespace class "
+    "matching RE2's \\s so non-ASCII whitespace cannot diverge the sides.",
 )
 def b82_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
@@ -481,7 +482,12 @@ def b82_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def eval(self, text: str, k: int):
-            ws = (text or "").split()
+            # Explicit ASCII whitespace class: python str.split() splits on
+            # ALL Unicode whitespace (e.g. U+00A0) while the DuckDB oracle's
+            # RE2 \s+ is ASCII-only — pin both sides to the same characters.
+            import re
+
+            ws = [w for w in re.split(r"[ \t\n\r\f\v]+", text or "") if w]
             yield tuple(ws[i] if i < len(ws) else None for i in range(int(k)))
 
     spark.udtf.register("ps_fixed_split", FixedSplit)

@@ -304,25 +304,63 @@ _RETUNED_IN_R07 = frozenset(
     }
 )
 
+# The 50 queries with a green (rows+schema+hash) driver row in round 7's
+# CORRECTNESS_r07.json — the NEWEST evidence, rotated to the back for round 8
+# (50/50 green: the 15 new/retuned r7 queries plus the 35 stalest r2 rows).
+_DRIVER_GREEN_R07 = frozenset(
+    {
+        "b01_orc_roundtrip", "b01_scan_csv_roundtrip",
+        "b01_scan_json_roundtrip", "b01_scan_parquet",
+        "b02_sink_parquet_partitioned", "b03_projection", "b04_filter_battery",
+        "b05_join_inner_4way", "b26_maps_ext", "b28_pandas_udf",
+        "b29_apply_in_pandas", "b30_tumbling_stream", "b30_tumbling_window",
+        "b31_sliding_window", "b32_dedup", "b32_dedup_stream",
+        "b33_stateful_agg_stream", "b35_dedup_clusters", "b35_jaccard_pairs",
+        "b36_cosine_neardup", "b36_cosine_topk", "b37_fingerprint",
+        "b37_lang_id", "b37_tfidf_top", "b38_content_addressing",
+        "b38_federation", "b38_put_dedup", "b38_roundtrip",
+        "b39_feature_pipeline", "b39_multimodal_decode", "b40_sql_collation",
+        "b40_sql_variables", "b41_doc_chunking", "b42_llm_pipeline",
+        "b46_asof_join", "b48_bucketed_join", "b48_salted_skew_join",
+        "b70_memorization_rate", "b73_substring_dedup",
+        "b76_gini_concentration", "b76_ks_test", "b77_calibration_ece",
+        "b77_quota_allocation", "b77_roc_auc", "b78_pslake_source",
+        "b78_pslake_stream", "b79_observe_metrics", "b80_jsonl_gz_ingest",
+        "b81_image_ahash_dedup", "b82_udtf_polymorphic",
+    }
+)
+
+# Round-8 retunes: queries whose Spark/oracle pair changed this round and
+# therefore need a fresh hash-verified driver row even though a historical
+# row exists.
+_RETUNED_IN_R08 = frozenset(
+    {
+        # b82's Spark-side tokenizer moved from str.split() (all Unicode
+        # whitespace) to an explicit ASCII-whitespace regex so both sides of
+        # the oracle pin the same character class (advisor r7 item).
+        "b82_udtf_polymorphic",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules on first access so the registry is populated.
     from . import queries as _  # noqa: F401
 
     # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
-    # Round-7 window = rank 0 (new/retuned this round: the 11 new b77-b82 /
-    # b40 surfaces and the four _RETUNED_IN_R07 overflow/width fixes) followed
-    # by rank 1 (the 25 queries whose freshest green evidence is round 2 —
-    # five rounds old) and rank 2 (the 49 round-3-evidence queries, of which
-    # the first 25 by registration order fit).  Every query is driver-green
-    # at least once (r6 verdict), so the window now purely rotates the
-    # OLDEST evidence forward for re-verification; newest evidence (r6) sits
-    # at the back.  Brand-new round-7 registrations displace rank-2 entries
-    # (which keep their round-3 green rows) rather than any stale-evidence
-    # rank-1 query.
+    # Round-8 window = rank 0 (new/retuned this round) followed by rank 1
+    # (the queries whose freshest green evidence is round 3 — five rounds
+    # old) and rank 2 (round-4 evidence) filling the remaining slots.  Every
+    # query is driver-green at least once (r6/r7 verdicts), so the window
+    # purely rotates the OLDEST evidence forward for re-verification; newest
+    # evidence (r7) sits at the back.  Brand-new round-8 registrations
+    # displace rank-2 entries (which keep their round-4 green rows) rather
+    # than any stale-evidence rank-1 query.
     def rank(name: str) -> int:
-        if name in _RETUNED_IN_R07:
+        if name in _RETUNED_IN_R08:
             return 0
+        if name in _DRIVER_GREEN_R07:
+            return 6
         if name in _DRIVER_GREEN_R06:
             return 5
         if name in _DRIVER_GREEN_R05:

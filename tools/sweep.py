@@ -69,21 +69,37 @@ def _heavy_subset_dir(data_dir: str) -> str | None:
         out = os.path.join(data_dir, "copy0_subset")
         done = os.path.join(out, "_DONE")
         if not os.path.exists(done):
-            os.makedirs(out, exist_ok=True)
+            # Build into a pid-suffixed temp sibling and os.rename() it into
+            # place so two concurrent sweeps can't interleave COPY writes
+            # into the shared cache dir before either writes _DONE (the
+            # loser's rename fails on the existing dir and is discarded).
+            tmp = f"{out}.tmp.{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)
             for t, key in _SUBSET_TABLES.items():
                 con.execute(
                     f"COPY (SELECT * FROM read_parquet('{data_dir}/{t}.parquet')"
                     f" WHERE {key} < {_COPY0_BOUND})"
-                    f" TO '{out}/{t}.parquet' (FORMAT parquet)"
+                    f" TO '{tmp}/{t}.parquet' (FORMAT parquet)"
                 )
             for t in bench.SCALE_TABLES:
                 if t in _SUBSET_TABLES:
                     continue
-                dst = os.path.join(out, f"{t}.parquet")
-                if not os.path.exists(dst):
-                    os.symlink(os.path.join(data_dir, f"{t}.parquet"), dst)
-            with open(done, "w") as f:
+                os.symlink(
+                    os.path.join(data_dir, f"{t}.parquet"),
+                    os.path.join(tmp, f"{t}.parquet"),
+                )
+            with open(os.path.join(tmp, "_DONE"), "w") as f:
                 f.write("ok")
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                # A concurrent sweep won the rename; trust its _DONE-stamped
+                # result and drop ours.
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(done):
+                    raise
         return out
     finally:
         con.close()
