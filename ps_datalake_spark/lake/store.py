@@ -140,6 +140,61 @@ def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def acquire_write_lease(path: str, op: str):
+    """Module-level write-lease protocol (see Store._write_lease for the
+    reference mapping).  Context manager; raises StoreBusy when contended.
+    Shared by Store mutations AND the pslake sink's driver-side commit, which
+    runs in a plain Python worker with no SparkSession."""
+    import contextlib
+    import time as _time
+
+    lease_path = os.path.join(path, "write.lease")
+
+    @contextlib.contextmanager
+    def _ctx():
+        fd = None
+        for attempt in (0, 1):
+            try:
+                fd = os.open(lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                stale_ino = Store._stale_lease_ino(lease_path)
+                if stale_ino is None and not os.path.exists(lease_path):
+                    continue  # holder released in between — retry create
+                if attempt == 1 or stale_ino is None:
+                    raise StoreBusy(
+                        f"{path}: write lease held "
+                        f"({Store._lease_holder(lease_path)}) for op {op!r}"
+                    ) from None
+                # Stale (dead pid / expired): break it BY IDENTITY, not
+                # path — between the staleness judgment and the unlink a
+                # competing writer may have broken the same stale lease
+                # and created its own fresh one; unlinking blindly would
+                # remove the successor's LIVE lease and let two writers
+                # proceed (r4 advice, medium). The successor's file is a
+                # different inode, so re-stat and only unlink the exact
+                # file that was judged stale; on any mismatch treat the
+                # store as contended (second loop iteration → StoreBusy).
+                with contextlib.suppress(OSError):
+                    if os.stat(lease_path).st_ino == stale_ino:
+                        os.unlink(lease_path)
+        if fd is None:
+            # both attempts fell through via `continue` (holder released
+            # and a new contender re-created the lease each time): the
+            # store is contended — fail fast like any other lost race
+            # (a bare loop exit here used to crash with UnboundLocalError)
+            raise StoreBusy(f"{path}: write lease contended for op {op!r}")
+        mine = {"pid": os.getpid(), "ts": _time.time(), "op": op}
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(mine, f)
+            yield
+        finally:
+            Store._release_lease(lease_path, mine)
+
+    return _ctx()
+
+
 class Store:
     def __init__(self, spark: SparkSession, path: str, readonly: bool, manifest: dict):
         from ..session import configure
@@ -294,57 +349,14 @@ class Store:
         that like readonly and waterfalls to the next store). Leases of dead
         processes or older than _LEASE_TTL_SEC are broken — the poisoned-lock
         recovery analog (src/error.rs:71-75).
+
+        The protocol itself lives in the module-level
+        :func:`acquire_write_lease` so non-Store writers (the ``pslake``
+        DataSource sink's driver-side commit, which has no SparkSession and
+        therefore no Store handle) take the SAME lease file with the SAME
+        staleness rules.
         """
-        import contextlib
-        import time as _time
-
-        lease_path = os.path.join(self.path, "write.lease")
-
-        @contextlib.contextmanager
-        def _ctx():
-            fd = None
-            for attempt in (0, 1):
-                try:
-                    fd = os.open(lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    break
-                except FileExistsError:
-                    stale_ino = self._stale_lease_ino(lease_path)
-                    if stale_ino is None and not os.path.exists(lease_path):
-                        continue  # holder released in between — retry create
-                    if attempt == 1 or stale_ino is None:
-                        raise StoreBusy(
-                            f"{self.path}: write lease held "
-                            f"({self._lease_holder(lease_path)}) for op {op!r}"
-                        ) from None
-                    # Stale (dead pid / expired): break it BY IDENTITY, not
-                    # path — between the staleness judgment and the unlink a
-                    # competing writer may have broken the same stale lease
-                    # and created its own fresh one; unlinking blindly would
-                    # remove the successor's LIVE lease and let two writers
-                    # proceed (r4 advice, medium). The successor's file is a
-                    # different inode, so re-stat and only unlink the exact
-                    # file that was judged stale; on any mismatch treat the
-                    # store as contended (second loop iteration → StoreBusy).
-                    with contextlib.suppress(OSError):
-                        if os.stat(lease_path).st_ino == stale_ino:
-                            os.unlink(lease_path)
-            if fd is None:
-                # both attempts fell through via `continue` (holder released
-                # and a new contender re-created the lease each time): the
-                # store is contended — fail fast like any other lost race
-                # (a bare loop exit here used to crash with UnboundLocalError)
-                raise StoreBusy(
-                    f"{self.path}: write lease contended for op {op!r}"
-                )
-            mine = {"pid": os.getpid(), "ts": _time.time(), "op": op}
-            try:
-                with os.fdopen(fd, "w") as f:
-                    json.dump(mine, f)
-                yield
-            finally:
-                self._release_lease(lease_path, mine)
-
-        return _ctx()
+        return acquire_write_lease(self.path, op)
 
     @staticmethod
     def _release_lease(lease_path: str, mine: dict) -> None:

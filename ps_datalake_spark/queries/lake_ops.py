@@ -464,9 +464,9 @@ def b78_pslake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _stable_store(spark, "q_store_addr", sf_dir)
     store.put_blobs(_doc_blobs(spark, sf_dir)).count()
 
-    from ..sources import PsLakeDataSource
+    from ..sources import register_pslake
 
-    spark.dataSource.register(PsLakeDataSource)
+    register_pslake(spark)
     df = (
         spark.read.format("pslake")
         .option("path", store.path)
@@ -516,3 +516,54 @@ def b78_pslake_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size").cast("bigint").alias("plain_bytes"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "b78_pslake_sink",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT sha256(text) AS h, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > {_RAW_MAX}
+    )
+    SELECT CAST(count(*) + 1 AS BIGINT) AS n_chunks,
+           CAST(sum(n) + {_SENTINEL_PLAIN_SIZE} AS BIGINT) AS plain_bytes,
+           CAST(0 AS BIGINT) AS hash_violations
+    FROM d
+    """,
+    tags=("B2", "B38", "lake"),
+    doc="The put waterfall as a NATIVE Spark sink (Python Data Source "
+    "writer, new in Spark 4): df.write.format('pslake') routes tiers "
+    "(A11), convergent-encrypts, probes existing buckets per task (A7), "
+    "and publishes under the store's exclusive write lease (A20) with "
+    "metadata-only renames — see sources/pslake_sink.py. Documents are "
+    "written TWICE through the sink: content addressing must make the "
+    "second job a complete no-op (A10 put idempotence, reference "
+    "store/mod.rs:321-326). Read back through the pslake SOURCE with "
+    "reader-side sha256 verification, so the oracle's predicted chunk "
+    "count (+1 sentinel), plaintext bytes, and zero violations witness "
+    "the whole write->dedup->verify loop from the documents table alone.",
+)
+def b78_pslake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_pslake
+
+    store = _stable_store(spark, "q_store_sink", sf_dir)
+    register_pslake(spark)
+    blobs = _doc_blobs(spark, sf_dir)
+    for _ in range(2):  # second write must dedup to a no-op
+        (
+            blobs.write.format("pslake")
+            .option("path", store.path)
+            .mode("append")
+            .save()
+        )
+    df = (
+        spark.read.format("pslake")
+        .option("path", store.path)
+        .option("verify", "true")
+        .load()
+    )
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("size").cast("bigint").alias("plain_bytes"),
+        F.sum(1 - F.col("hash_ok")).cast("bigint").alias("hash_violations"),
+    )

@@ -1,7 +1,7 @@
 """``pslake`` — the content-addressed chunk store as a first-class Spark
 data source (Python Data Source API, new in Spark 4).
 
-    spark.dataSource.register(PsLakeDataSource)
+    register_pslake(spark)   # ships the package zip, then registers
     df = (spark.read.format("pslake")
           .option("path", store_dir)
           .option("verify", "true")      # sha256 every chunk in the reader
@@ -121,3 +121,17 @@ class PsLakeDataSource(DataSource):
 
     def reader(self, schema) -> PsLakeReader:
         return PsLakeReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        """``df.write.format("pslake")`` — the put waterfall as a native
+        sink (size routing A11, dedup A10, chunk trees A13, lease A20).
+        Input must carry ``id`` (integral) and ``data`` (binary) columns;
+        see pslake_sink.py for the commit protocol."""
+        from .pslake_sink import PsLakeWriter
+
+        names = {f.name for f in schema.fields}
+        if not {"id", "data"} <= names:
+            raise ValueError(
+                f"pslake sink needs columns ('id', 'data'), got {sorted(names)}"
+            )
+        return PsLakeWriter(dict(self.options), overwrite)

@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ps_datalake_spark.lake.store import Store
-from ps_datalake_spark.sources import PsLakeDataSource
+from ps_datalake_spark.sources import PsLakeDataSource, register_pslake
 from ps_datalake_spark.sources.pslake_source import (
     _list_chunk_files,
     _resolve_chunks_dir,
@@ -30,7 +30,7 @@ def store(spark, tmp_path):
 
 
 def _read(spark, st, **opts):
-    spark.dataSource.register(PsLakeDataSource)
+    register_pslake(spark)
     r = spark.read.format("pslake").option("path", st.path)
     for k, v in opts.items():
         r = r.option(k, v)
@@ -99,3 +99,104 @@ def test_corrupted_chunk_is_flagged_not_hidden(spark, store, tmp_path):
     df = _read(spark, store)
     bad = df.where(F.col("hash_ok") == 0).count()
     assert bad == 1
+
+
+# -- the pslake SINK (df.write.format("pslake"), sources/pslake_sink.py) -----
+
+
+def _write(df, st, **opts):
+    w = df.write.format("pslake").option("path", st.path)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.mode("append").save()
+
+
+@pytest.fixture()
+def sink_store(spark, tmp_path):
+    register_pslake(spark)
+    return Store.create(spark, str(tmp_path / "sink_store"), prefix_len=1)
+
+
+def _tiered_rows():
+    rows = [(i, bytes(f"blob-{i}-".encode() * (5 if i < 5 else 2000))) for i in range(10)]
+    # tree tier: 4 identical 256K Z-pieces (dedup inside one blob) + 2 mixed
+    rows.append((100, b"Z" * ((1 << 20) + 1) + b"tail" * 100_000))
+    return rows
+
+
+def test_sink_all_tiers_round_trip(spark, sink_store, tmp_path):
+    rows = _tiered_rows()
+    df = spark.createDataFrame(rows, "id long, data binary").repartition(3)
+    _write(df, sink_store, hkeys_out=str(tmp_path / "hkeys"))
+    hk = {r["id"]: r["hkey"] for r in spark.read.parquet(str(tmp_path / "hkeys")).collect()}
+    src = dict(rows)
+    assert set(hk) == set(src)
+    for i, key in hk.items():
+        assert sink_store.get(key) == src[i]
+    # raw tier stored nothing; tree tier wrote manifests
+    kinds = {k.split(":", 1)[0] for k in hk.values()}
+    assert {"raw", "tree"} <= kinds and (kinds & {"enc", "plain"})
+    assert sink_store.manifests().count() == 6  # ceil(1448577 / 256K) pieces
+
+
+def test_sink_matches_put_blobs_exactly(spark, sink_store, tmp_path):
+    """Sink and Store.put_blobs must be byte-identical: same chunk hashes,
+    same hkeys — the sink IS the put waterfall, not a reimplementation."""
+    rows = _tiered_rows()
+    df = spark.createDataFrame(rows, "id long, data binary")
+    _write(df, sink_store, hkeys_out=str(tmp_path / "hk_sink"))
+    other = Store.create(spark, str(tmp_path / "via_put"), prefix_len=1)
+    via_put = {r["id"]: r["hkey"] for r in other.put_blobs(df).collect()}
+    via_sink = {
+        r["id"]: r["hkey"] for r in spark.read.parquet(str(tmp_path / "hk_sink")).collect()
+    }
+    assert via_sink == via_put
+    sink_hashes = {r["hash"] for r in sink_store.chunks().collect()}
+    put_hashes = {r["hash"] for r in other.chunks().collect()}
+    assert sink_hashes == put_hashes
+
+
+def test_sink_dedup_and_staging_cleanup(spark, sink_store):
+    df = spark.createDataFrame(_tiered_rows(), "id long, data binary").repartition(4)
+    _write(df, sink_store)
+    n1 = sink_store.chunks().count()
+    _write(df, sink_store)  # A10: the second write must be a no-op
+    assert sink_store.chunks().count() == n1
+    assert sink_store.chunks().select("hash").distinct().count() == n1
+    assert sink_store.manifests().count() == 6  # not doubled either
+    assert not [d for d in os.listdir(sink_store.path) if d.startswith("staging_")]
+
+
+def test_sink_honors_write_lease(spark, sink_store):
+    """A held lease must fail the write (StoreBusy surfaces through Spark)."""
+    import time
+
+    lease = os.path.join(sink_store.path, "write.lease")
+    with open(lease, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": time.time(), "op": "test"}, f)
+    df = spark.createDataFrame([(1, b"x" * 2000)], "id long, data binary")
+    try:
+        with pytest.raises(Exception, match="write lease held"):
+            _write(df, sink_store)
+        assert sink_store.chunks().count() == 1  # sentinel only — nothing landed
+    finally:
+        os.unlink(lease)
+
+
+def test_sink_rejects_overwrite_and_bad_schema(spark, sink_store):
+    df = spark.createDataFrame([(1, b"x")], "id long, data binary")
+    with pytest.raises(Exception, match="append-only"):
+        df.write.format("pslake").option("path", sink_store.path).mode(
+            "overwrite"
+        ).save()
+    bad = spark.createDataFrame([(1, "nope")], "id long, text string")
+    with pytest.raises(Exception, match="needs columns"):
+        bad.write.format("pslake").option("path", sink_store.path).mode(
+            "append"
+        ).save()
+
+
+def test_sink_null_payload_fails_loudly(spark, sink_store):
+    df = spark.createDataFrame([(1, b"ok" * 200), (2, None)], "id long, data binary")
+    with pytest.raises(Exception, match="NULL 'data'"):
+        _write(df, sink_store)
