@@ -238,11 +238,17 @@ def b76_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 1000000.0).cast("bigint").alias("v"),
     )
     w = Window.partitionBy("event_type").orderBy("v", "event_id")
-    r = ev.withColumn("rn", F.row_number().over(w))
-    n = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    # n comes from a partition-frame count over the SAME exchange as the rank
+    # window (two WindowExecs, one shuffle, second sort a no-op) — the old
+    # separate groupBy(n)+broadcast-join cost a third scan of events and an
+    # extra shuffle for what the window pass already knows (r7 verdict #7:
+    # the 10x draw straddled 2x on a sub-second absolute; less work beats
+    # more draws).
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
     b = (
-        r.join(F.broadcast(n), "event_type")
-        .where(
+        r.where(
             (F.col("rn") == F.expr("(n + 19) DIV 20"))
             | (F.col("rn") == F.expr("(19 * n + 19) DIV 20"))
         )
@@ -252,12 +258,12 @@ def b76_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rn") == F.expr("(19 * n + 19) DIV 20"), F.col("v"))).alias(
                 "hi_v"
             ),
+            F.min("n").alias("n"),
         )
     )
     clipped = F.least(F.greatest(F.col("v"), F.col("lo_v")), F.col("hi_v"))
     out = (
         ev.join(F.broadcast(b), "event_type")
-        .join(F.broadcast(n), "event_type")
         .groupBy("event_type")
         .agg(
             F.min("n").cast("bigint").alias("n_events"),

@@ -230,16 +230,32 @@ def b75_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = T(spark, sf_dir, "customer").select(
         (F.col("c_custkey") * 7 + 3).alias("probe_key")
     )
-    probed = probe.select(
+    # Probe side is SHUFFLE-FREE (r7 verdict #5, the countmin treatment):
+    # the old explode->broadcast-join->groupBy(probe_key) re-shuffled n*k
+    # exploded rows just to reassemble per-key hit counts.  k is tiny and
+    # the bit relation is bounded (<= m rows), so probe each seed as its own
+    # COLUMN via k broadcast hash joins — all map-side, one codegen stage —
+    # and fold n_hit as a row-local sum.  The three joins broadcast the SAME
+    # bits subtree (alias only, no per-seed projection) so exchange reuse
+    # builds it once; the only shuffles left are the two bounded build-side
+    # aggregations (distinct keys, distinct positions), both map-side
+    # combined and themselves chained off one reused exchange.
+    hits = probe
+    for i, s in enumerate(_BLOOM_SEEDS):
+        hits = hits.withColumn(f"_p{i}", _pos(s, F.col("probe_key"), _BLOOM_M))
+    bcast = F.broadcast(bits)
+    for i in range(k):
+        hits = hits.join(
+            bcast.alias(f"_b{i}"),
+            F.col(f"_p{i}") == F.col(f"_b{i}.pos"),
+            "left",
+        )
+    hits = hits.select(
         "probe_key",
-        F.explode(
-            F.array(*[_pos(s, F.col("probe_key"), _BLOOM_M) for s in _BLOOM_SEEDS])
-        ).alias("pos"),
-    )
-    hits = (
-        probed.join(F.broadcast(bits), "pos", "left")
-        .groupBy("probe_key")
-        .agg(F.sum(F.coalesce(F.col("bit_set"), F.lit(0))).alias("n_hit"))
+        sum(
+            [F.coalesce(F.col(f"_b{i}.bit_set"), F.lit(0)) for i in range(k)],
+            F.lit(0),
+        ).alias("n_hit"),
     )
     truth = hits.join(
         F.broadcast(build.withColumnRenamed("key", "probe_key").withColumn("present", F.lit(1))),

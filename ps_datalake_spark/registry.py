@@ -339,6 +339,15 @@ _RETUNED_IN_R08 = frozenset(
         # whitespace) to an explicit ASCII-whitespace regex so both sides of
         # the oracle pin the same character class (advisor r7 item).
         "b82_udtf_polymorphic",
+        # b75's probe side went shuffle-free (k broadcast joins of one reused
+        # bits subtree instead of explode+regroup; 3.9 s -> 1.24 s at 10x) —
+        # Spark-side plan changed, oracle unchanged.
+        "b75_bloom_filter",
+        # b76's per-type count folded into the rank window's exchange (two
+        # WindowExecs, one shuffle; drops a third scan of events + a
+        # broadcast join; 0.93 s -> 0.75 s at 10x) — plan changed, oracle
+        # unchanged.
+        "b76_winsorized_stats",
     }
 )
 
