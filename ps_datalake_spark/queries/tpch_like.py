@@ -185,18 +185,32 @@ def b05_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-hash 1.10-1.31 s vs broadcast 1.51-1.71 s — the per-run
     # driver-side hashed-relation build dominates past ~8 MB — while at 10x
     # (oc est 1.3 MB) broadcast keeps the fact scan exchange-free.
+    # PACKED single-long join key (r8, measured at 1000x: 8.5 s -> 7.2 s,
+    # a 16% cut with no other change): the composite-key join
+    # (l_orderkey, s_nationkey) = (o_orderkey, c_nationkey) hashes and
+    # compares two-field UnsafeRows on all 600M probe rows; nationkey < 32
+    # makes key*32 + nationkey injective, so one bigint carries both
+    # equalities and the join runs on Spark's fast single-long hashed
+    # relation.  Overflow bound: needs orderkey < 2^63/32 ≈ 2.9e17 — TPC-H
+    # SF 100k (~100 TB) peaks near 6e11.  A byte-narrowing variant
+    # (precomputed revenue, 16 B exchange rows) was measured and REJECTED:
+    # 8.49 s, indistinguishable from baseline — row count and key hashing,
+    # not bytes, are the residual.
+    pack = F.lit(32)
+    lik = li.join(s_asia, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        (F.col("l_orderkey") * pack + F.col("s_nationkey")).alias("lk"),
+        "s_nationkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+    ock = oc.select((F.col("o_orderkey") * pack + F.col("c_nationkey")).alias("ok"))
     ord_bytes = table_bytes(sf_dir, "orders")
     if ord_bytes is not None and ord_bytes // 15 < 8 << 20:
-        oc = F.broadcast(oc)
+        ock = F.broadcast(ock)
     else:
-        oc = oc.hint("shuffle_hash")
+        ock = ock.hint("shuffle_hash")
     return (
-        li.join(s_asia, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(
-            oc,
-            (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
+        lik.join(ock, F.col("lk") == F.col("ok"))
         .groupBy("s_nationkey")  # ≤ 5 ASIA nations
         .agg(
             dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
