@@ -567,3 +567,53 @@ def b78_pslake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size").cast("bigint").alias("plain_bytes"),
         F.sum(1 - F.col("hash_ok")).cast("bigint").alias("hash_violations"),
     )
+
+
+@query(
+    "b78_pslake_lookup",
+    oracle=f"""
+    SELECT CAST(1 AS BIGINT) AS n_rows,
+           CAST(octet_length(encode(text)) AS BIGINT) AS plain_size,
+           CAST(1 AS BIGINT) AS verified
+    FROM documents
+    WHERE doc_id = (SELECT min(doc_id) FROM documents
+                    WHERE octet_length(encode(text)) > {_RAW_MAX})
+    """,
+    tags=("B38", "lake"),
+    doc="A7 point lookup AT THE SOURCE-PLANNING LAYER (Spark 4.1 "
+    "pushFilters): a WHERE hash = <addr> read of the pslake source prunes "
+    "partition planning to the one hash_prefix bucket directory — the "
+    "reference's open-addressing index probe (store/mod.rs A6/A7) expressed "
+    "as partition pruning instead of a catalog call (partition-count "
+    "pinned in tests/test_pslake_source.py). The target address comes from "
+    "the put's returned hkey for the smallest stored document (a bounded "
+    "1-row scalar), and the oracle predicts the looked-up chunk's recorded "
+    "plaintext size from the documents table — the size survives the "
+    "encrypt/store/lookup round-trip byte-exactly.",
+)
+def b78_pslake_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake.hkey import Hkey
+    from ..sources import register_pslake
+
+    store = _stable_store(spark, "q_store_addr", sf_dir)
+    hkeys = store.put_blobs(_doc_blobs(spark, sf_dir))
+    register_pslake(spark)
+    target_id = (
+        T(spark, sf_dir, "documents")
+        .where(F.length(F.col("text").cast("binary")) > _RAW_MAX)
+        .agg(F.min("doc_id").alias("m"))
+        .head()["m"]
+    )
+    hk = Hkey.decode(hkeys.where(F.col("id") == target_id).head()["hkey"])
+    df = (
+        spark.read.format("pslake")
+        .option("path", store.path)
+        .option("verify", "true")
+        .load()
+        .where(F.col("hash") == hk.hash)  # planned as ONE bucket directory
+    )
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("size").cast("bigint").alias("plain_size"),
+        F.sum("hash_ok").cast("bigint").alias("verified"),
+    )

@@ -29,7 +29,7 @@ floating point anywhere in either query.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -276,4 +276,133 @@ def b75_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("present") == 1) & (F.col("n_hit") < k), 1).otherwise(0))
         .cast("bigint")
         .alias("n_false_neg"),
+    )
+
+
+_QSK_R = 100  # systematic-sample stride: each per-day summary keeps n_d/R rows
+
+
+@query(
+    "b83_quantile_sketch_merge",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_id,
+             CAST(round(value * 1000000.0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT d, v, event_id,
+             row_number() OVER (PARTITION BY d ORDER BY v, event_id) AS rn,
+             count(*) OVER (PARTITION BY d) AS nd
+      FROM ev
+    ),
+    summ AS (
+      SELECT d, v, rn, least({_QSK_R}, nd - rn + 1) AS w
+      FROM s WHERE (rn - 1) % {_QSK_R} = 0
+    ),
+    m AS (
+      SELECT v, d, rn,
+             sum(w) OVER (ORDER BY v, d, rn ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER () AS tot
+      FROM summ
+    ),
+    e AS (
+      SELECT
+        CAST(min(CASE WHEN cum >= (tot + 1) // 2 THEN v END) AS BIGINT) AS est_p50_e6,
+        CAST(min(CASE WHEN cum >= (9 * tot + 9) // 10 THEN v END) AS BIGINT) AS est_p90_e6,
+        CAST(min(CASE WHEN cum >= (99 * tot + 99) // 100 THEN v END) AS BIGINT) AS est_p99_e6,
+        CAST(count(*) AS BIGINT) AS summary_rows
+      FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           e.summary_rows,
+           e.est_p50_e6,
+           CAST(abs(sum(CASE WHEN ev.v <= e.est_p50_e6 THEN 1 ELSE 0 END)
+                    - (count(*) + 1) // 2) AS BIGINT) AS err_p50,
+           e.est_p90_e6,
+           CAST(abs(sum(CASE WHEN ev.v <= e.est_p90_e6 THEN 1 ELSE 0 END)
+                    - (9 * count(*) + 9) // 10) AS BIGINT) AS err_p90,
+           e.est_p99_e6,
+           CAST(abs(sum(CASE WHEN ev.v <= e.est_p99_e6 THEN 1 ELSE 0 END)
+                    - (99 * count(*) + 99) // 100) AS BIGINT) AS err_p99
+    FROM ev, e
+    GROUP BY e.summary_rows, e.est_p50_e6, e.est_p90_e6, e.est_p99_e6
+    """,
+    tags=("B12", "sketch"),
+    doc="MERGEABLE quantile summaries (the b60_hll_merge complement, "
+    "KLL/MRL-shaped but fully deterministic so the oracle is value-exact): "
+    "each day builds its summary INDEPENDENTLY — a systematic rank sample "
+    "(every R-th order statistic, weight = covered run length), the "
+    "deterministic cousin of an MRL compactor level — and the merge is a "
+    "weighted union whose cumulative-weight rank lookup answers any "
+    "quantile with error <= R per contributing summary.  The err_* "
+    "columns measure the TRUE rank distance of each estimate against the "
+    "raw data (one extra aggregate pass), witnessing the bound.  Scale "
+    "shape: summary build is one per-day window over the same exchange as "
+    "any per-day rollup; each summary is n_d/R rows, so the merged "
+    "relation is corpus/R — the bounded-state contract of a mergeable "
+    "sketch; R scales with corpus so the merge stays driver-light.",
+)
+def b83_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    R = _QSK_R
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            "event_id",
+            F.round(F.col("value") * 1000000.0).cast("bigint").alias("v"),
+        )
+    )
+    wday = Window.partitionBy("d").orderBy("v", "event_id")
+    s = ev.withColumn("rn", F.row_number().over(wday)).withColumn(
+        "nd", F.count("*").over(Window.partitionBy("d"))
+    )
+    summ = s.where((F.col("rn") - 1) % R == 0).select(
+        "d", "v", "rn", F.least(F.lit(R), F.col("nd") - F.col("rn") + 1).alias("w")
+    )
+    wm = (
+        Window.orderBy("v", "d", "rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = summ.select(
+        "v",
+        F.sum("w").over(wm).alias("cum"),
+        F.sum("w").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+
+    def est(num: int, den: int, name: str):
+        return F.min(
+            F.when(F.col("cum") >= F.expr(f"({num} * tot + {num}) DIV {den}"), F.col("v"))
+        ).cast("bigint").alias(name)
+
+    e = m.agg(
+        est(1, 2, "est_p50_e6"),
+        est(9, 10, "est_p90_e6"),
+        est(99, 100, "est_p99_e6"),
+        F.count("*").cast("bigint").alias("summary_rows"),
+    )
+
+    def err(num: int, den: int, est_col: str, name: str):
+        return F.abs(
+            F.sum(F.when(F.col("v") <= F.col(est_col), 1).otherwise(0))
+            - F.expr(f"({num} * count(*) + {num}) DIV {den}")
+        ).cast("bigint").alias(name)
+
+    return ev.join(F.broadcast(e)).groupBy(
+        "summary_rows", "est_p50_e6", "est_p90_e6", "est_p99_e6"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        err(1, 2, "est_p50_e6", "err_p50"),
+        err(9, 10, "est_p90_e6", "err_p90"),
+        err(99, 100, "est_p99_e6", "err_p99"),
+    ).select(
+        "n", "summary_rows",
+        "est_p50_e6", "err_p50",
+        "est_p90_e6", "err_p90",
+        "est_p99_e6", "err_p99",
     )

@@ -52,6 +52,10 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # the pslake reader implements pushFilters (A7 point lookup as partition
+    # pruning); Spark 4.1 REFUSES to plan a pushFilters-bearing reader while
+    # this is off, so it must be on in any session that reads the source
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -36,12 +36,23 @@ import hashlib
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
 
 _SCHEMA = (
     "hash string, hash_prefix string, size bigint, enc string, "
     "stored_len bigint, hash_ok int"
 )
+
+
+def _and_in(current: set | None, new: set) -> set:
+    """AND-combine IN-set constraints (pushFilters gives a conjunction)."""
+    return set(new) if current is None else current & new
 
 
 class _ChunkFilePartition(InputPartition):
@@ -90,13 +101,53 @@ class PsLakeReader(DataSourceReader):
             raise ValueError("pslake source requires .option('path', <store dir>)")
         self.chunks_dir = _resolve_chunks_dir(path, int(options.get("generation", "0")))
         self.verify = str(options.get("verify", "true")).lower() != "false"
+        with open(os.path.join(path, "manifest.json")) as f:
+            self.prefix_len = int(json.load(f).get("prefix_len", 2))
+        # pushed point-lookup state (see pushFilters): None = unconstrained
+        self.hash_in: set | None = None
+        self.prefix_in: set | None = None
+
+    def pushFilters(self, filters):
+        """A7 as SOURCE PLANNING (Spark 4.1 pushFilters): equality/IN on
+        ``hash`` or ``hash_prefix`` prunes partition planning to the matching
+        bucket directories — the reference's open-addressing index probe
+        (store/mod.rs A6/A7) expressed as partition pruning, so
+        ``WHERE hash = <h>`` plans exactly the one prefix directory instead
+        of scanning the store.  Consumed filters are ALSO applied row-level
+        in read() (Spark does not re-evaluate what the source accepts)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("hash",):
+                vals = {f.value}
+            elif isinstance(f, In) and f.attribute == ("hash",):
+                vals = set(f.value)
+            elif isinstance(f, EqualTo) and f.attribute == ("hash_prefix",):
+                self.prefix_in = _and_in(self.prefix_in, {f.value})
+                continue
+            elif isinstance(f, In) and f.attribute == ("hash_prefix",):
+                self.prefix_in = _and_in(self.prefix_in, set(f.value))
+                continue
+            else:
+                yield f  # unsupported — Spark evaluates it post-scan
+                continue
+            self.hash_in = _and_in(self.hash_in, vals)
+            self.prefix_in = _and_in(
+                self.prefix_in,
+                {str(v)[: self.prefix_len] for v in vals},
+            )
 
     def partitions(self):
-        return [_ChunkFilePartition(f, p) for f, p in _list_chunk_files(self.chunks_dir)]
+        files = _list_chunk_files(self.chunks_dir)
+        if self.prefix_in is not None:
+            files = [(f, p) for f, p in files if p in self.prefix_in]
+        return [_ChunkFilePartition(f, p) for f, p in files]
 
     def read(self, partition: _ChunkFilePartition):
         import pyarrow.parquet as pq
 
+        if partition is None:
+            # partitions() pruned everything (pushed lookup missed every
+            # bucket); Spark still schedules one task with a None partition
+            return
         pf = pq.ParquetFile(partition.file_path)
         for batch in pf.iter_batches(columns=["hash", "size", "enc", "data"]):
             hashes = batch.column("hash").to_pylist()
@@ -104,6 +155,8 @@ class PsLakeReader(DataSourceReader):
             encs = batch.column("enc").to_pylist()
             datas = batch.column("data").to_pylist()
             for h, s, e, d in zip(hashes, sizes, encs, datas):
+                if self.hash_in is not None and h not in self.hash_in:
+                    continue
                 raw = bytes(d) if d is not None else b""
                 ok = 1
                 if self.verify:

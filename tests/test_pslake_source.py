@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from ps_datalake_spark.lake.store import Store
 from ps_datalake_spark.sources import PsLakeDataSource, register_pslake
+from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
 from ps_datalake_spark.sources.pslake_source import (
     _list_chunk_files,
     _resolve_chunks_dir,
@@ -200,3 +202,55 @@ def test_sink_null_payload_fails_loudly(spark, sink_store):
     df = spark.createDataFrame([(1, b"ok" * 200), (2, None)], "id long, data binary")
     with pytest.raises(Exception, match="NULL 'data'"):
         _write(df, sink_store)
+
+
+# -- pushFilters: the A7 point lookup at source-planning level ----------------
+
+
+def test_pushdown_point_lookup_plans_one_prefix(spark, store):
+    """WHERE hash = <h> must prune partition planning to the one bucket
+    directory (A6/A7 as source planning) and return exactly that chunk."""
+    some = store.chunks().select("hash", "size").orderBy("hash").head(3)
+    target = some[0]["hash"]
+    reader = PsLakeDataSource(options={"path": store.path}).reader(None)
+    leftover = list(reader.pushFilters([EqualTo(("hash",), target)]))
+    assert leftover == []  # fully consumed
+    parts = reader.partitions()
+    dir_files = [
+        (f, p) for f, p in _list_chunk_files(_resolve_chunks_dir(store.path, 0))
+        if p == target[:1]
+    ]
+    assert len(parts) == len(dir_files) >= 1
+    rows = [r for part in parts for r in reader.read(part)]
+    assert [r[0] for r in rows] == [target]
+
+    df = _read(spark, store).where(F.col("hash") == target)
+    got = df.collect()
+    assert len(got) == 1 and got[0]["hash"] == target
+    assert got[0]["size"] == some[0]["size"]
+
+
+def test_pushdown_in_and_unsupported_filters(spark, store):
+    hs = [r["hash"] for r in store.chunks().select("hash").orderBy("hash").collect()]
+    picks = {hs[0], hs[-1]}
+    reader = PsLakeDataSource(options={"path": store.path}).reader(None)
+    unsupported = GreaterThan(("size",), 0)
+    leftover = list(reader.pushFilters([In(("hash",), tuple(picks)), unsupported]))
+    assert leftover == [unsupported]  # returned by reference
+    prefixes = {h[:1] for h in picks}
+    assert {p.prefix for p in reader.partitions()} <= prefixes
+    rows = [r for part in reader.partitions() for r in reader.read(part)]
+    assert {r[0] for r in rows} == picks
+
+    # end-to-end: mixed supported+unsupported conjunction stays correct
+    df = _read(spark, store).where(F.col("hash").isin(*picks) & (F.col("size") > 0))
+    assert {r["hash"] for r in df.collect()} == picks
+
+
+def test_pushdown_prefix_filter_and_miss(spark, store):
+    reader = PsLakeDataSource(options={"path": store.path}).reader(None)
+    list(reader.pushFilters([EqualTo(("hash_prefix",), "0")]))
+    assert all(p.prefix == "0" for p in reader.partitions())
+    # a hash that exists nowhere plans (at most) one prefix and returns 0 rows
+    df = _read(spark, store).where(F.col("hash") == "f" * 64)
+    assert df.count() == 0
