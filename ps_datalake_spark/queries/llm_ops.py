@@ -1519,14 +1519,17 @@ def b81_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = T(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     # Loud fixture-growth guard (1-row scalar, column-pruned agg): the
     # planted ids live at base_id + 100000 and the pattern is id % 100000,
-    # so a base doc_id >= 100000 would alias the planted range and corrupt
-    # the planted-pair oracle SILENTLY (spurious hash-equal pairs).  Fail
-    # loudly instead; the oracle hardcodes the +100000 offset, so the offset
-    # cannot be derived dynamically.
-    max_id = ids.agg(F.max("id").alias("m")).collect()[0]["m"]
-    if max_id is not None and max_id >= 100000:
+    # so a WITHIN-COPY doc_id >= 100000 would alias the planted range and
+    # corrupt the planted-pair oracle SILENTLY (spurious hash-equal pairs).
+    # Scaled corpora add copy offsets in multiples of 10M — congruent to 0
+    # mod 100000, hence alias-free — so the guard checks the id modulo the
+    # copy stride, not the raw maximum (advisor r7; the raw-max version
+    # falsely tripped on the 10x sweep corpus).  Fail loudly; the oracle
+    # hardcodes the +100000 offset, so it cannot be derived dynamically.
+    max_mod = ids.agg(F.max(F.col("id") % 10_000_000).alias("m")).collect()[0]["m"]
+    if max_mod is not None and max_mod >= 100000:
         raise ValueError(
-            f"b81 planted-id offset 100000 aliased: max base doc_id {max_id}"
+            f"b81 planted-id offset 100000 aliased: max within-copy doc_id {max_mod}"
         )
     planted = ids.where(F.col("id") < 10).select(
         (F.col("id") + F.lit(100000)).alias("id")
