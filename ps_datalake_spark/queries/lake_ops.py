@@ -617,3 +617,78 @@ def b78_pslake_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size").cast("bigint").alias("plain_size"),
         F.sum("hash_ok").cast("bigint").alias("verified"),
     )
+
+
+@query(
+    "b78_pslake_stream_sink",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT sha256(text) AS h, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > {_RAW_MAX}
+    )
+    SELECT CAST(count(*) + 1 AS BIGINT) AS n_chunks,
+           CAST(sum(n) + {_SENTINEL_PLAIN_SIZE} AS BIGINT) AS plain_bytes,
+           CAST(0 AS BIGINT) AS hash_violations
+    FROM d
+    """,
+    tags=("B2", "B30", "B38", "lake", "streaming"),
+    doc="Streaming write INTO the lake through the native sink "
+    "(df.writeStream.format('pslake'), Spark 4 DataSourceStreamWriter): "
+    "documents stream in via availableNow microbatches, each microbatch "
+    "runs the put waterfall and publishes under the write lease, and the "
+    "sink's exactly-once story is the store's own content addressing — a "
+    "replayed batch dedups to a no-op with no sink-side commit log "
+    "(pytest-pinned by a full fresh-checkpoint replay in "
+    "test_pslake_source.py). A FRESH checkpoint every invocation makes "
+    "this query itself a replay test: repeated driver/bench runs re-put "
+    "the whole corpus and must converge to the same chunk count, read "
+    "back through the verifying pslake source.",
+)
+def b78_pslake_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from ..sources import register_pslake
+
+    store = _stable_store(spark, "q_store_stream_sink", sf_dir)
+    register_pslake(spark)
+    # the file stream source needs a DIRECTORY — stage the single-file
+    # fixture behind a symlink dir, the established events-stream pattern
+    import hashlib
+
+    token = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = scratch_dir(f"docs_stream_{token}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+        except OSError:
+            shutil.copy2(os.path.join(sf_dir, "documents.parquet"), link)
+    schema = T(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select(F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("data"))
+    )
+    ckpt = scratch_dir(f"ckpt_stream_sink_{uuid.uuid4().hex[:10]}")
+    q = (
+        stream.writeStream.format("pslake")
+        .option("path", store.path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    df = (
+        spark.read.format("pslake")
+        .option("path", store.path)
+        .option("verify", "true")
+        .load()
+    )
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("size").cast("bigint").alias("plain_bytes"),
+        F.sum(1 - F.col("hash_ok")).cast("bigint").alias("hash_violations"),
+    )

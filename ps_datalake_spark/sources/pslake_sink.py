@@ -54,7 +54,11 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
 
 from ..errors import StoreOutOfSpace
 from ..lake import crypto
@@ -256,6 +260,20 @@ class PsLakeWriter(DataSourceArrowWriter):
 
     # -- driver-side commit protocol ----------------------------------------
 
+    def _staging_roots(self, msgs) -> set:
+        """Staging roots derived from the MESSAGES' file paths, not self:
+        the streaming runner may commit on a different writer instantiation
+        (fresh uuid) than the one whose pickle the tasks staged under, so
+        self.staging alone would orphan the real staging dir."""
+        roots = {self.staging}
+        for m in msgs:
+            for _prefix, f in m.chunk_files:
+                roots.add(os.path.dirname(os.path.dirname(os.path.dirname(f))))
+            for f in (m.manifest_file, m.hkey_file):
+                if f:
+                    roots.add(os.path.dirname(os.path.dirname(f)))
+        return roots
+
     def commit(self, messages) -> None:
         import shutil
 
@@ -266,7 +284,8 @@ class PsLakeWriter(DataSourceArrowWriter):
             with acquire_write_lease(self.store_path, "pslake_sink_commit"):
                 self._commit_locked(msgs, pq)
         finally:
-            shutil.rmtree(self.staging, ignore_errors=True)
+            for root in self._staging_roots(msgs):
+                shutil.rmtree(root, ignore_errors=True)
 
     def _commit_locked(self, msgs, pq) -> None:
         chunks_dir = _active_dir(self.store_path, "chunks")
@@ -385,4 +404,29 @@ class PsLakeWriter(DataSourceArrowWriter):
     def abort(self, messages) -> None:
         import shutil
 
-        shutil.rmtree(self.staging, ignore_errors=True)
+        msgs = [m for m in (messages or []) if m is not None]
+        for root in self._staging_roots(msgs):
+            shutil.rmtree(root, ignore_errors=True)
+
+
+class PsLakeStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("pslake")`` — the put waterfall per
+    microbatch.  Pure composition over the batch writer: each microbatch's
+    tasks stage chunks exactly like a batch put (task uuids keep staged
+    files collision-free across batches and retries) and the per-batch
+    commit publishes under the store's write lease.  Retried batches are
+    EXACTLY-ONCE IN EFFECT with no sink-side log: content addressing makes
+    a replayed publish dedup to a no-op (A10 put idempotence — the store's
+    own semantics are the streaming sink's commit protocol)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._w = PsLakeWriter(options, overwrite)
+
+    def write(self, iterator: Iterator) -> PsLakeCommitMessage:
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._w.commit(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._w.abort(messages)

@@ -175,6 +175,14 @@ class PsLakeDataSource(DataSource):
     def reader(self, schema) -> PsLakeReader:
         return PsLakeReader(self.options)
 
+    @staticmethod
+    def _check_sink_schema(schema) -> None:
+        names = {f.name for f in schema.fields}
+        if not {"id", "data"} <= names:
+            raise ValueError(
+                f"pslake sink needs columns ('id', 'data'), got {sorted(names)}"
+            )
+
     def writer(self, schema, overwrite: bool):
         """``df.write.format("pslake")`` — the put waterfall as a native
         sink (size routing A11, dedup A10, chunk trees A13, lease A20).
@@ -182,9 +190,13 @@ class PsLakeDataSource(DataSource):
         see pslake_sink.py for the commit protocol."""
         from .pslake_sink import PsLakeWriter
 
-        names = {f.name for f in schema.fields}
-        if not {"id", "data"} <= names:
-            raise ValueError(
-                f"pslake sink needs columns ('id', 'data'), got {sorted(names)}"
-            )
+        self._check_sink_schema(schema)
         return PsLakeWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        """``df.writeStream.format("pslake")`` — per-microbatch puts whose
+        replay safety IS the store's content addressing (pslake_sink.py)."""
+        from .pslake_sink import PsLakeStreamWriter
+
+        self._check_sink_schema(schema)
+        return PsLakeStreamWriter(dict(self.options), overwrite)

@@ -254,3 +254,36 @@ def test_pushdown_prefix_filter_and_miss(spark, store):
     # a hash that exists nowhere plans (at most) one prefix and returns 0 rows
     df = _read(spark, store).where(F.col("hash") == "f" * 64)
     assert df.count() == 0
+
+
+def test_stream_sink_microbatch_puts(spark, sink_store, tmp_path):
+    """writeStream.format('pslake'): microbatch puts land in the store, and
+    the content round-trips; a second identical stream run (fresh
+    checkpoint — a full replay) dedups to a no-op (exactly-once in effect
+    via content addressing, no sink-side log)."""
+    src = tmp_path / "stream_src"
+    df = spark.createDataFrame(
+        [(i, bytes(f"stream-blob-{i}-".encode() * 300)) for i in range(8)],
+        "id long, data binary",
+    )
+    df.write.parquet(str(src))
+
+    def run(tag):
+        q = (
+            spark.readStream.schema("id long, data binary")
+            .parquet(str(src))
+            .writeStream.format("pslake")
+            .option("path", sink_store.path)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("a")
+    n1 = sink_store.chunks().count()
+    assert n1 == 1 + 8  # sentinel + 8 distinct mid-tier blobs
+    run("b")  # full replay from a fresh checkpoint — must dedup away
+    assert sink_store.chunks().count() == n1
+    assert sink_store.chunks().select("hash").distinct().count() == n1
+    assert not [d for d in os.listdir(sink_store.path) if d.startswith("staging_")]
