@@ -679,7 +679,15 @@ def b78_pslake_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # availableNow terminates on its own; a hung query must FAIL loudly —
+    # proceeding on timeout would rmtree the checkpoint under a live query
+    # and verify a partially-written store (advisor r8 item).
+    if not q.awaitTermination(300):
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        raise TimeoutError(
+            "b78_pslake_stream_sink: stream did not converge within 300 s"
+        )
     shutil.rmtree(ckpt, ignore_errors=True)
     df = (
         spark.read.format("pslake")

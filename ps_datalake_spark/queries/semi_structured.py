@@ -447,9 +447,13 @@ def b27_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b82_udtf_polymorphic",
     oracle=r"""
     WITH d AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      SELECT doc_id,
+             string_split_regex(
+               trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12)),
+               '[ \t\n\r\f]+') AS ws
       FROM documents
-      WHERE doc_id < 30 AND text IS NOT NULL AND length(trim(text)) > 0
+      WHERE doc_id < 30 AND text IS NOT NULL
+        AND regexp_replace(text, '[ \t\n\r\f]', '', 'g') <> ''
     )
     SELECT doc_id, ws[1] AS w0, ws[2] AS w1, ws[3] AS w2, ws[4] AS w3
     FROM d ORDER BY doc_id
@@ -461,9 +465,11 @@ def b27_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     "schema-from-arguments half of the UDTF API that b28_udtf_chunks' "
     "fixed returnType does not exercise. Catalyst sees real resolved "
     "columns, so downstream pruning/pushdown work normally. Oracle is the "
-    "fixed 4-column list indexing; whitespace-only docs are filtered on "
-    "both sides, and eval() splits on an explicit ASCII whitespace class "
-    "matching RE2's \\s so non-ASCII whitespace cannot diverge the sides.",
+    "fixed 4-column list indexing. Both sides pin the IDENTICAL whitespace "
+    "class [ \\t\\n\\r\\f] — RE2's \\s exactly, WITHOUT \\v (Python's "
+    "\\s-equivalent class includes \\x0b, RE2's does not; advisor r8) — "
+    "for the split, the edge trim, and the whitespace-only-doc filter, so "
+    "no character can diverge the sides.",
 )
 def b82_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
@@ -484,18 +490,25 @@ def b82_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str, k: int):
             # Explicit ASCII whitespace class: python str.split() splits on
             # ALL Unicode whitespace (e.g. U+00A0) while the DuckDB oracle's
-            # RE2 \s+ is ASCII-only — pin both sides to the same characters.
+            # RE2 \s is exactly [ \t\n\r\f] — note NO \v: Python's \s-style
+            # class includes \x0b but RE2's does not, so \v must pass
+            # through as word content on both sides (advisor r8 item).
+            # re.split only yields empty strings at the edges, so dropping
+            # them is equivalent to trimming this same class first.
             import re
 
-            ws = [w for w in re.split(r"[ \t\n\r\f\v]+", text or "") if w]
+            ws = [w for w in re.split(r"[ \t\n\r\f]+", text or "") if w]
             yield tuple(ws[i] if i < len(ws) else None for i in range(int(k)))
 
     spark.udtf.register("ps_fixed_split", FixedSplit)
+    # Filter on "has at least one char outside the shared whitespace class"
+    # (not on space-only trim()) so whitespace-only docs are excluded by the
+    # SAME character set the split uses, on both sides of the oracle.
     T(spark, sf_dir, "documents").where(
         (F.col("doc_id") < 30)
         & F.col("text").isNotNull()
-        & (F.length(F.trim("text")) > 0)
-    ).select("doc_id", F.trim("text").alias("t")).createOrReplaceTempView(
+        & (F.regexp_replace("text", "[ \t\n\r\f]", "") != "")
+    ).select("doc_id", F.col("text").alias("t")).createOrReplaceTempView(
         "udtf_poly_docs"
     )
     return spark.sql(

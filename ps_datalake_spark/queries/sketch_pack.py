@@ -207,16 +207,36 @@ def _bloom_seed_values() -> str:
     FROM truth
     """,
     tags=("B7", "sketch"),
-    doc="Bloom membership filter (m=8192 bits, k=3): the bit array is built "
-    "as the DISTINCT hash-position relation over the orders build keys "
-    "(bounded <= m rows, map-side combined), broadcast, and probed by a "
-    "shifted customer key set so present/absent/false-positive regimes all "
-    "occur.  Ground truth is an exact anti-join; the n_false_neg column "
-    "is the no-false-negatives invariant (must be 0).  Runtime shape of "
-    "Spark's AQE bloom-filter join pruning, materialised oracle-checkably.",
+    doc="Bloom membership filter (m=8192 bits, k=3): the bit array is the "
+    "DISTINCT hash-position relation derived from the distinct build keys "
+    "(two chained bounded exchanges, both map-side combined — the r8 "
+    "verdict's proposed single-pass fold was MEASURED AND REJECTED: "
+    "exploding raw keys before the distinct multiplies the "
+    "corpus-proportional partial-agg input by k+1 and ran 2.20 s vs "
+    "1.35 s chained at 10x; see the body comment and PLANS.md round-9), "
+    "broadcast and probed shuffle-free by a shifted customer key set so "
+    "present/absent/false-positive regimes all occur.  Ground truth is "
+    "an exact broadcast join; n_false_neg is the no-false-negatives "
+    "invariant (must be 0).  Runtime shape of Spark's AQE bloom-filter "
+    "join pruning, materialised oracle-checkably.",
 )
 def b75_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = len(_BLOOM_SEEDS)
+    # Build side: distinct keys FIRST, then the (bounded) distinct-position
+    # relation derived from them — two chained exchanges, both map-side
+    # combined, the second's input only k*|distinct keys| rows.  The r8
+    # verdict (#4) asked whether folding both into ONE aggregation pass
+    # (explode each RAW key into 2*key / 2*pos_i+1 parity-tagged bigints,
+    # one distinct, one broadcast reused k+1 times) is faster: measured
+    # interleaved min-of-3 at 10x says NO — 2.20 s folded vs 1.35 s
+    # chained — because explode-before-distinct multiplies the partial
+    # aggregation's input over the CORPUS-PROPORTIONAL relation by (k+1)
+    # (60M vs 15M rows through the hash), which costs far more than the
+    # saved bounded exchange (~450k rows).  A tag-column variant is worse
+    # still: the tag equality rides the join condition, Catalyst pushes it
+    # below the aggregate, and the build splits into k+1 separate
+    # scan+distinct subtrees (measured 2.2 s, zero exchange reuse).  The
+    # chained shape is the audited floor; see PLANS.md round-9.
     build = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key")).distinct()
     bits = (
         build.select(
@@ -231,15 +251,10 @@ def b75_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") * 7 + 3).alias("probe_key")
     )
     # Probe side is SHUFFLE-FREE (r7 verdict #5, the countmin treatment):
-    # the old explode->broadcast-join->groupBy(probe_key) re-shuffled n*k
-    # exploded rows just to reassemble per-key hit counts.  k is tiny and
-    # the bit relation is bounded (<= m rows), so probe each seed as its own
-    # COLUMN via k broadcast hash joins — all map-side, one codegen stage —
-    # and fold n_hit as a row-local sum.  The three joins broadcast the SAME
-    # bits subtree (alias only, no per-seed projection) so exchange reuse
-    # builds it once; the only shuffles left are the two bounded build-side
-    # aggregations (distinct keys, distinct positions), both map-side
-    # combined and themselves chained off one reused exchange.
+    # k broadcast hash joins of the SAME bits subtree (alias only, so
+    # exchange reuse builds the hash relation once) — all map-side, one
+    # codegen stage; n_hit folds as a row-local sum and the exact truth is
+    # one more broadcast join against the distinct keys.
     hits = probe
     for i, s in enumerate(_BLOOM_SEEDS):
         hits = hits.withColumn(f"_p{i}", _pos(s, F.col("probe_key"), _BLOOM_M))
@@ -258,7 +273,11 @@ def b75_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_hit"),
     )
     truth = hits.join(
-        F.broadcast(build.withColumnRenamed("key", "probe_key").withColumn("present", F.lit(1))),
+        F.broadcast(
+            build.withColumnRenamed("key", "probe_key").withColumn(
+                "present", F.lit(1)
+            )
+        ),
         "probe_key",
         "left",
     ).withColumn("present", F.coalesce(F.col("present"), F.lit(0)))

@@ -357,22 +357,69 @@ _RETUNED_IN_R08 = frozenset(
 )
 
 
+# The 50 queries with a green (rows+schema+hash) driver row in round 8's
+# CORRECTNESS_r08.json — the NEWEST evidence, rotated to the back for round
+# 9 (50/50 green: the 4 new + 4 retuned r8 queries plus the stalest
+# r3/r4-evidence rows).  Generated from the artifact's keys verbatim.
+_DRIVER_GREEN_R08 = frozenset(
+    {
+        "b05_join_full", "b05_join_left", "b05_tpch_q5",
+        "b06_broadcast_join", "b07_anti_join", "b07_semi_join",
+        "b08_range_join", "b08_range_join_pairs", "b09_cross_join",
+        "b10_agg_minmax", "b10_stats_agg", "b10_tpch_q1", "b10_tpch_q10",
+        "b10_tpch_q18", "b11_count_distinct", "b11_distinct",
+        "b12_approx_count_distinct", "b13_cube", "b13_rollup",
+        "b14_rank_windows", "b15_lag_lead", "b17_sort_nulls", "b18_topk",
+        "b18_topk_per_group", "b32_late_data", "b32_stream_stream_join",
+        "b33_custom_stateful", "b33_update_mode_stream", "b36_ann_lsh",
+        "b36_cosine_neardup_lsh", "b36_ivf_topk", "b38_compact_vacuum",
+        "b38_stream_ingest", "b38_waterfall", "b39_decode_real",
+        "b39_resize_edges", "b40_sql_grouping_sets", "b47_contamination",
+        "b47_pii_scrub", "b47_repetition", "b49_merge_upsert",
+        "b50_clustered_skip", "b52_zorder_skip", "b75_bloom_filter",
+        "b76_winsorized_stats", "b78_pslake_lookup", "b78_pslake_sink",
+        "b78_pslake_stream_sink", "b82_udtf_polymorphic",
+        "b83_quantile_sketch_merge",
+    }
+)
+
+# Round-9 retunes: queries whose Spark/oracle pair changed this round and
+# therefore need a fresh hash-verified driver row even though a historical
+# row exists.
+_RETUNED_IN_R09 = frozenset(
+    {
+        # The whitespace tokenizer class dropped \v (\x0b) so the Spark-side
+        # regex matches RE2's \s ([\t\n\f\r ]) exactly, and the oracle trims
+        # the same ASCII whitespace set (advisor r8 item) — both sides of
+        # the pair changed.
+        "b82_udtf_polymorphic",
+        # NOTE b75_bloom_filter is NOT here: the r8-verdict-#4 single-pass
+        # fold of its two build-side distinct exchanges was measured and
+        # REJECTED (2.20 s folded vs 1.35 s chained at 10x — explode before
+        # distinct multiplies the corpus-proportional partial-agg input by
+        # k+1), so its r8 plan and green row stand; the 10x floor is now a
+        # recorded bench artifact row instead (bench.py SCALE_QUERIES).
+    }
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules on first access so the registry is populated.
     from . import queries as _  # noqa: F401
 
     # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
-    # Round-8 window = rank 0 (new/retuned this round) followed by rank 1
-    # (the queries whose freshest green evidence is round 3 — five rounds
-    # old) and rank 2 (round-4 evidence) filling the remaining slots.  Every
-    # query is driver-green at least once (r6/r7 verdicts), so the window
-    # purely rotates the OLDEST evidence forward for re-verification; newest
-    # evidence (r7) sits at the back.  Brand-new round-8 registrations
-    # displace rank-2 entries (which keep their round-4 green rows) rather
-    # than any stale-evidence rank-1 query.
+    # Round-9 window = rank 0 (new/retuned this round) followed by the
+    # queries whose freshest green evidence is OLDEST — after r8 refreshed
+    # the r3-evidence rows, the stalest survivors are the round-4-evidence
+    # queries (rank 3), then round-5 (rank 4) filling the remaining slots.
+    # Every query is driver-green at least once (r6-r8 verdicts), so the
+    # window purely rotates the oldest evidence forward for re-verification;
+    # newest evidence (r8) sits at the back.
     def rank(name: str) -> int:
-        if name in _RETUNED_IN_R08:
+        if name in _RETUNED_IN_R09:
             return 0
+        if name in _DRIVER_GREEN_R08:
+            return 7
         if name in _DRIVER_GREEN_R07:
             return 6
         if name in _DRIVER_GREEN_R06:

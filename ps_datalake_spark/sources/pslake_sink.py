@@ -28,7 +28,13 @@ Scale design — the commit protocol never copies chunk bytes:
   and drops already-stored chunks before staging.  Surviving chunk rows are
   staged as per-(task, prefix) parquet files under a job-unique
   ``staging_<uuid>/`` directory INSIDE the store (same filesystem, so the
-  publish below is a metadata-only rename).
+  publish below is a metadata-only rename).  Staging is INCREMENTAL:
+  pending ciphertext flushes to parquet whenever it crosses
+  ``staging_flush_bytes`` (default 64 MiB, an option), so task-resident
+  memory is O(flush threshold), never O(task's new data) — a task may
+  stage several part files per prefix, which commit already handles.
+  Hashes staged by earlier flushes are remembered (64 B/chunk) so a
+  recurring blob inside one task stages once.
 * ``commit()`` (driver side, no SparkSession): takes the store's exclusive
   write lease (A20 — the same ``write.lease`` protocol as every Store
   mutation), re-checks each touched prefix ONLY if its file listing changed
@@ -129,6 +135,9 @@ class PsLakeWriter(DataSourceArrowWriter):
         self.inline_max = int(manifest.get("inline_max", MAX_SIZE_RAW))
         self.quota_bytes = manifest.get("quota_bytes")
         self.hkeys_out = options.get("hkeys_out")
+        self.flush_bytes = int(
+            options.get("staging_flush_bytes", 64 * 1024 * 1024)
+        )
         self.staging = os.path.join(path, f"staging_{uuid.uuid4().hex[:12]}")
 
     # -- per-task (executor) path -------------------------------------------
@@ -156,16 +165,65 @@ class PsLakeWriter(DataSourceArrowWriter):
         probe_cache: dict = {}
         # per-prefix pending chunk rows: prefix -> dict hash -> (size, enc, data)
         pending: dict[str, dict] = {}
+        pending_bytes = 0  # ciphertext resident in `pending` right now
+        flush_seq = 0
+        # hashes already flushed to staged parquet by THIS task: keeps a
+        # recurring blob from re-staging after its bytes left memory (the
+        # commit-side cross-file dedup would still win, but re-staging
+        # wastes I/O).  64 B per chunk — bounded metadata, never payload.
+        staged_hashes: set[str] = set()
         manifest_rows: dict = {}  # (root_hash, seq) -> row (in-task dedup, A13)
         hkeys: list[tuple[int, str]] = []
         n_rows = 0
+        msg = PsLakeCommitMessage()
+
+        def _flush_pending() -> None:
+            """Stage every pending prefix's rows to parquet and release the
+            payload bytes — called at each flush-threshold crossing and once
+            at end-of-task, so resident memory is O(staging_flush_bytes),
+            never O(the task's total new data) (advisor r8 item)."""
+            nonlocal pending, pending_bytes, flush_seq
+            for prefix, rows in pending.items():
+                d = os.path.join(self.staging, "chunks", f"hash_prefix={prefix}")
+                os.makedirs(d, exist_ok=True)
+                out = os.path.join(d, f"part-{task_uid}-{flush_seq:04d}.parquet")
+                tbl = pa.table(
+                    {
+                        "hash": pa.array(list(rows), pa.string()),
+                        "size": pa.array(
+                            [r[0] for r in rows.values()], pa.int64()
+                        ),
+                        "enc": pa.array(
+                            [r[1] for r in rows.values()], pa.string()
+                        ),
+                        "data": pa.array(
+                            [r[2] for r in rows.values()], pa.binary()
+                        ),
+                    }
+                )
+                pq.write_table(tbl, out)
+                msg.chunk_files.append((prefix, out))
+                staged_hashes.update(rows)
+            pending = {}
+            pending_bytes = 0
+            flush_seq += 1
 
         def _store_chunk(stored: bytes, plain_len: int, enc: str) -> str:
+            nonlocal pending_bytes
             h = hashlib.sha256(stored).hexdigest()
             prefix = h[: self.prefix_len]
             existing, _files = self._probe_prefix(chunks_dir, prefix, probe_cache)
-            if h not in existing:  # A10 dedup short-circuit
+            # A10 dedup short-circuit: already stored, already staged by an
+            # earlier flush, or already pending in memory.
+            if (
+                h not in existing
+                and h not in staged_hashes
+                and h not in pending.get(prefix, ())
+            ):
                 pending.setdefault(prefix, {})[h] = (plain_len, enc, stored)
+                pending_bytes += len(stored)
+                if pending_bytes >= self.flush_bytes:
+                    _flush_pending()
             return h
 
         def _encrypt(plain: bytes) -> tuple[bytes, str, str | None]:
@@ -211,22 +269,10 @@ class PsLakeWriter(DataSourceArrowWriter):
                 if self.hkeys_out:
                     hkeys.append((int(blob_id), hk))
 
-        msg = PsLakeCommitMessage(n_rows=n_rows)
+        if pending:
+            _flush_pending()
+        msg.n_rows = n_rows
         msg.probed = {p: files for p, (_seen, files) in probe_cache.items()}
-        for prefix, rows in pending.items():
-            d = os.path.join(self.staging, "chunks", f"hash_prefix={prefix}")
-            os.makedirs(d, exist_ok=True)
-            out = os.path.join(d, f"part-{task_uid}.parquet")
-            tbl = pa.table(
-                {
-                    "hash": pa.array(list(rows), pa.string()),
-                    "size": pa.array([r[0] for r in rows.values()], pa.int64()),
-                    "enc": pa.array([r[1] for r in rows.values()], pa.string()),
-                    "data": pa.array([r[2] for r in rows.values()], pa.binary()),
-                }
-            )
-            pq.write_table(tbl, out)
-            msg.chunk_files.append((prefix, out))
         if manifest_rows:
             d = os.path.join(self.staging, "manifests")
             os.makedirs(d, exist_ok=True)
@@ -274,7 +320,7 @@ class PsLakeWriter(DataSourceArrowWriter):
                     roots.add(os.path.dirname(os.path.dirname(f)))
         return roots
 
-    def commit(self, messages) -> None:
+    def commit(self, messages, batch_id: int | None = None) -> None:
         import shutil
 
         import pyarrow.parquet as pq
@@ -282,12 +328,12 @@ class PsLakeWriter(DataSourceArrowWriter):
         msgs = [m for m in messages if m is not None]
         try:
             with acquire_write_lease(self.store_path, "pslake_sink_commit"):
-                self._commit_locked(msgs, pq)
+                self._commit_locked(msgs, pq, batch_id)
         finally:
             for root in self._staging_roots(msgs):
                 shutil.rmtree(root, ignore_errors=True)
 
-    def _commit_locked(self, msgs, pq) -> None:
+    def _commit_locked(self, msgs, pq, batch_id: int | None = None) -> None:
         chunks_dir = _active_dir(self.store_path, "chunks")
         manifests_dir = _active_dir(self.store_path, "manifests")
 
@@ -391,14 +437,32 @@ class PsLakeWriter(DataSourceArrowWriter):
                     tbl = pq.read_table(f)
                     pq.write_table(tbl.filter(pa.array(keep)), dst)
 
-        # 6. Publish the id→hkey mapping, if requested.
+        # 6. Publish the id→hkey mapping, if requested.  Chunks/manifests
+        #    dedup by content address, but the mapping rows do not — a
+        #    replayed streaming microbatch would publish duplicate id→hkey
+        #    rows under fresh task uuids (advisor r8 item).  With a
+        #    batch_id the files are therefore named BY BATCH, and any
+        #    previous attempt's files for the same batch are removed first,
+        #    so a replay overwrites instead of appending.
         if self.hkeys_out:
             os.makedirs(self.hkeys_out, exist_ok=True)
-            for m in msgs:
-                if m.hkey_file:
+            staged = sorted(m.hkey_file for m in msgs if m.hkey_file)
+            if batch_id is None:
+                for f in staged:
                     os.rename(
-                        m.hkey_file,
-                        os.path.join(self.hkeys_out, os.path.basename(m.hkey_file)),
+                        f, os.path.join(self.hkeys_out, os.path.basename(f))
+                    )
+            else:
+                stem = f"batch-{batch_id:010d}"
+                for old in os.listdir(self.hkeys_out):
+                    if old.startswith(stem):
+                        os.unlink(os.path.join(self.hkeys_out, old))
+                for i, f in enumerate(staged):
+                    os.rename(
+                        f,
+                        os.path.join(
+                            self.hkeys_out, f"{stem}-{i:05d}.parquet"
+                        ),
                     )
 
     def abort(self, messages) -> None:
@@ -417,7 +481,10 @@ class PsLakeStreamWriter(DataSourceStreamArrowWriter):
     commit publishes under the store's write lease.  Retried batches are
     EXACTLY-ONCE IN EFFECT with no sink-side log: content addressing makes
     a replayed publish dedup to a no-op (A10 put idempotence — the store's
-    own semantics are the streaming sink's commit protocol)."""
+    own semantics are the streaming sink's commit protocol).  The optional
+    ``hkeys_out`` side output has no content address to dedup on, so its
+    files are named by batchId and a replay REPLACES the batch's previous
+    files instead of appending duplicates (advisor r8 item)."""
 
     def __init__(self, options: dict, overwrite: bool):
         self._w = PsLakeWriter(options, overwrite)
@@ -426,7 +493,7 @@ class PsLakeStreamWriter(DataSourceStreamArrowWriter):
         return self._w.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        self._w.commit(messages)
+        self._w.commit(messages, batch_id=batchId)
 
     def abort(self, messages, batchId: int) -> None:
         self._w.abort(messages)

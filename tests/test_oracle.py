@@ -50,11 +50,11 @@ def test_no_complex_result_columns(spark, sf_dir):
 
 
 def test_driver_window_covers_unchecked_queries():
-    """Round-8 window invariant: the driver's 50-slot CORRECTNESS window must
+    """Round-9 window invariant: the driver's 50-slot CORRECTNESS window must
     hold (in priority order) anything new/retuned this round, then the OLDEST
-    surviving evidence — the queries whose newest green is round 3 (five
-    rounds old), then round-4-evidence queries filling the remaining slots;
-    everything r5/r6/r7-verified rotates to the back."""
+    surviving evidence — after r8 refreshed the r3-evidence rows, the stalest
+    survivors are the round-4-evidence queries, then round-5 filling the
+    remaining slots; everything r6/r7/r8-verified rotates to the back."""
     from ps_datalake_spark.registry import (
         _DRIVER_GREEN_R01,
         _DRIVER_GREEN_R02,
@@ -63,7 +63,8 @@ def test_driver_window_covers_unchecked_queries():
         _DRIVER_GREEN_R05,
         _DRIVER_GREEN_R06,
         _DRIVER_GREEN_R07,
-        _RETUNED_IN_R08,
+        _DRIVER_GREEN_R08,
+        _RETUNED_IN_R09,
     )
 
     names = list(SPECS)
@@ -76,12 +77,13 @@ def test_driver_window_covers_unchecked_queries():
         | _DRIVER_GREEN_R05
         | _DRIVER_GREEN_R06
         | _DRIVER_GREEN_R07
+        | _DRIVER_GREEN_R08
     )
     # rank 0: queries with no green driver row (never checked, or retuned
     # this round).  Once MORE than 50 rank-0 queries exist, overflow is
     # unavoidable — but then every window slot must hold a rank-0 entry:
     # nothing with existing green evidence may displace an unverified query.
-    rank0 = (set(names) - ever_green) | _RETUNED_IN_R08
+    rank0 = (set(names) - ever_green) | _RETUNED_IN_R09
     if len(rank0) <= 50:
         assert rank0 <= window, (
             f"never-verified queries outside window: {sorted(rank0 - window)}"
@@ -91,16 +93,18 @@ def test_driver_window_covers_unchecked_queries():
             f"evidence-bearing queries inside an overflowing window: "
             f"{sorted(window - rank0)}"
         )
-    assert not (window & (_DRIVER_GREEN_R07 - _RETUNED_IN_R08)), (
-        "fresh r7 greens must rotate to the back"
+    assert not (window & (_DRIVER_GREEN_R08 - _RETUNED_IN_R09)), (
+        "fresh r8 greens must rotate to the back"
     )
-    # queries whose newest evidence is round 3 fill the next slots, then
-    # round-4 evidence; fresher r5/r6/r7 evidence must never displace them.
+    # queries whose newest evidence is round 3 (if any remain) fill the next
+    # slots, then round-4 evidence; fresher r5-r8 evidence must never
+    # displace them.
     newer_than_r3 = (
         _DRIVER_GREEN_R04
         | _DRIVER_GREEN_R05
         | _DRIVER_GREEN_R06
         | _DRIVER_GREEN_R07
+        | _DRIVER_GREEN_R08
     )
     r3_only = (
         _DRIVER_GREEN_R03 | _DRIVER_GREEN_R02 | _DRIVER_GREEN_R01
@@ -111,12 +115,16 @@ def test_driver_window_covers_unchecked_queries():
             f"stale r3 evidence outside a non-full window: {sorted(outside)}"
         )
     fresher = (
-        _DRIVER_GREEN_R05 | _DRIVER_GREEN_R06 | _DRIVER_GREEN_R07
-    ) - _RETUNED_IN_R08
+        _DRIVER_GREEN_R05
+        | _DRIVER_GREEN_R06
+        | _DRIVER_GREEN_R07
+        | _DRIVER_GREEN_R08
+    ) - _RETUNED_IN_R09
     r4_only = _DRIVER_GREEN_R04 - fresher
     if len(rank0 | r3_only | r4_only) >= 50:
         assert not (window & fresher), (
-            "r5/r6/r7-verified queries occupy slots while stale evidence waits"
+            "r5/r6/r7/r8-verified queries occupy slots while stale evidence "
+            "waits"
         )
 
 

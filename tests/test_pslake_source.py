@@ -287,3 +287,70 @@ def test_stream_sink_microbatch_puts(spark, sink_store, tmp_path):
     assert sink_store.chunks().count() == n1
     assert sink_store.chunks().select("hash").distinct().count() == n1
     assert not [d for d in os.listdir(sink_store.path) if d.startswith("staging_")]
+
+
+def test_sink_incremental_flush_bounded_memory(spark, sink_store, tmp_path):
+    """staging_flush_bytes=1 forces a flush after EVERY stored chunk — the
+    degenerate bound of the incremental-staging path (advisor r8: task
+    memory must be O(flush threshold), not O(task's new data)).  The store
+    contents must be byte-identical to an unbounded-buffer write, and a
+    prefix may carry several part files from one task (commit handles the
+    (prefix, file) list regardless of how many flushes produced it)."""
+    rows = _tiered_rows()
+    df = spark.createDataFrame(rows, "id long, data binary").coalesce(1)
+    _write(df, sink_store, hkeys_out=str(tmp_path / "hk"), staging_flush_bytes=1)
+    hk = {r["id"]: r["hkey"] for r in spark.read.parquet(str(tmp_path / "hk")).collect()}
+    src = dict(rows)
+    for i, key in hk.items():
+        assert sink_store.get(key) == src[i]
+    other = Store.create(spark, str(tmp_path / "unbuffered"), prefix_len=1)
+    sdf = spark.createDataFrame(rows, "id long, data binary").coalesce(1)
+    other_w = sdf.write.format("pslake").option("path", other.path)
+    other_w.mode("append").save()
+    assert {r["hash"] for r in sink_store.chunks().collect()} == {
+        r["hash"] for r in other.chunks().collect()
+    }
+    # the single task flushed per-chunk: at least one prefix holds >1 part
+    # file from the same task (same uuid, different flush seq)
+    chunks_root = os.path.join(sink_store.path, "chunks")
+    per_prefix = {}
+    for d in os.listdir(chunks_root):
+        if d.startswith("hash_prefix="):
+            parts = [f for f in os.listdir(os.path.join(chunks_root, d))
+                     if f.endswith(".parquet")]
+            per_prefix[d] = parts
+    assert any(len(v) > 1 for v in per_prefix.values()), per_prefix
+    assert not [d for d in os.listdir(sink_store.path) if d.startswith("staging_")]
+
+
+def test_stream_sink_hkeys_replay_overwrites(spark, sink_store, tmp_path):
+    """hkeys_out has no content address to dedup on; the stream writer names
+    its files by batchId so a replayed batch REPLACES the previous attempt's
+    mapping rows instead of appending duplicates (advisor r8 item)."""
+    src = tmp_path / "hk_stream_src"
+    rows = [(i, bytes(f"hk-blob-{i}-".encode() * 300)) for i in range(6)]
+    spark.createDataFrame(rows, "id long, data binary").write.parquet(str(src))
+    hk_dir = str(tmp_path / "hk_out")
+
+    def run(tag):
+        q = (
+            spark.readStream.schema("id long, data binary")
+            .parquet(str(src))
+            .writeStream.format("pslake")
+            .option("path", sink_store.path)
+            .option("hkeys_out", hk_dir)
+            .option("checkpointLocation", str(tmp_path / f"hk_ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run("a")
+    first = spark.read.parquet(hk_dir).collect()
+    assert len(first) == 6
+    run("b")  # fresh checkpoint = full replay of batch 0
+    rep = spark.read.parquet(hk_dir).collect()
+    assert len(rep) == 6, "replayed batch must overwrite, not append"
+    assert {r["id"]: r["hkey"] for r in rep} == {r["id"]: r["hkey"] for r in first}
+    assert all(f.startswith("batch-") for f in os.listdir(hk_dir)
+               if f.endswith(".parquet"))

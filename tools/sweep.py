@@ -69,6 +69,14 @@ def _heavy_subset_dir(data_dir: str) -> str | None:
         out = os.path.join(data_dir, "copy0_subset")
         done = os.path.join(out, "_DONE")
         if not os.path.exists(done):
+            # Self-repair: a partial `out` left by a crashed older build
+            # (pre-tempdir code wrote into `out` directly) has no _DONE and
+            # would wedge the rename below with ENOTEMPTY forever — clear
+            # it before building (advisor r8 item).
+            if os.path.isdir(out):
+                import shutil
+
+                shutil.rmtree(out, ignore_errors=True)
             # Build into a pid-suffixed temp sibling and os.rename() it into
             # place so two concurrent sweeps can't interleave COPY writes
             # into the shared cache dir before either writes _DONE (the
