@@ -185,6 +185,13 @@ SCALE300_QUERIES = [
 SCALE1000_QUERIES = [
     "b10_tpch_q1",
     "b05_tpch_q5",
+    # r9 (r8 verdict #3): the pre-r8 composite-key q5, timed under the SAME
+    # protocol in the SAME section — the recorded packed-vs-unpacked pair
+    # adjudicates whether the r8 packed-key gain survives the driver's
+    # bench protocol (builder A/B said -16%; the r8 driver artifact moved
+    # +6%).  DuckDB side reuses q5's oracle, so its ratio cell is
+    # meaningful too.  Drop after the adjudication round.
+    "b05_tpch_q5_unpacked",
     "b13_rollup",
     "b18_topk",
 ]
@@ -515,6 +522,20 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     scale_queries = SCALE_QUERIES if scale_queries is None else scale_queries
     sf_dir = SF_DIR if sf_dir is None else sf_dir
     specs = all_queries()
+    # r9 reconciliation instrument (r8 verdict #3): time the pre-r8
+    # composite-key q5 alongside the packed-key plan in the scale1000
+    # section, under the identical driver protocol, so the packed-vs-
+    # unpacked question is settled by one artifact instead of dueling
+    # cross-run comparisons.  Bench-only: not part of the driver surface.
+    from ps_datalake_spark.queries.tpch_like import q5_unpacked
+    from ps_datalake_spark.registry import QuerySpec as _QS
+
+    specs["b05_tpch_q5_unpacked"] = _QS(
+        name="b05_tpch_q5_unpacked",
+        build=q5_unpacked,
+        oracle=specs["b05_tpch_q5"].oracle,
+        doc="bench-only A/B instrument; see q5_unpacked docstring",
+    )
     own_spark = spark is None
     if own_spark:
         spark = get_spark(app_name="ps-datalake-bench")
