@@ -221,8 +221,13 @@ def test_pushdown_point_lookup_plans_one_prefix(spark, store):
         if p == target[:1]
     ]
     assert len(parts) == len(dir_files) >= 1
-    rows = [r for part in parts for r in reader.read(part)]
-    assert [r[0] for r in rows] == [target]
+    hashes = [
+        h
+        for part in parts
+        for b in reader.read(part)
+        for h in b.column("hash").to_pylist()
+    ]
+    assert hashes == [target]
 
     df = _read(spark, store).where(F.col("hash") == target)
     got = df.collect()
@@ -239,8 +244,13 @@ def test_pushdown_in_and_unsupported_filters(spark, store):
     assert leftover == [unsupported]  # returned by reference
     prefixes = {h[:1] for h in picks}
     assert {p.prefix for p in reader.partitions()} <= prefixes
-    rows = [r for part in reader.partitions() for r in reader.read(part)]
-    assert {r[0] for r in rows} == picks
+    got = {
+        h
+        for part in reader.partitions()
+        for b in reader.read(part)
+        for h in b.column("hash").to_pylist()
+    }
+    assert got == picks
 
     # end-to-end: mixed supported+unsupported conjunction stays correct
     df = _read(spark, store).where(F.col("hash").isin(*picks) & (F.col("size") > 0))
@@ -354,3 +364,46 @@ def test_stream_sink_hkeys_replay_overwrites(spark, sink_store, tmp_path):
     assert {r["id"]: r["hkey"] for r in rep} == {r["id"]: r["hkey"] for r in first}
     assert all(f.startswith("batch-") for f in os.listdir(hk_dir)
                if f.endswith(".parquet"))
+
+
+def test_reader_yields_arrow_batches_not_rows(spark, store):
+    """The source read path must speak Arrow RecordBatches end-to-end (r8
+    verdict: symmetric with the sink, no to_pylist + per-row yields on the
+    bulk path).  Driving the reader directly pins the yield type; the
+    filtered path (pushed hash lookup) must also stay batch-shaped."""
+    import pyarrow as pa
+
+    from ps_datalake_spark.sources.pslake_source import PsLakeReader
+
+    reader = PsLakeReader({"path": store.path})
+    parts = reader.partitions()
+    assert parts, "store has chunk files"
+    total = 0
+    for p in parts:
+        for out in reader.read(p):
+            assert isinstance(out, pa.RecordBatch), type(out)
+            assert out.schema.names == [
+                "hash", "hash_prefix", "size", "enc", "stored_len", "hash_ok",
+            ]
+            assert out.num_rows > 0
+            total += out.num_rows
+    assert total == 21  # 20 blobs + sentinel
+
+    # pushed point lookup: batch-shaped, one surviving row, verification on
+    some_hash = None
+    for p in parts:
+        for out in PsLakeReader({"path": store.path}).read(p):
+            some_hash = out.column("hash")[0].as_py()
+            break
+        break
+    lk = PsLakeReader({"path": store.path})
+    consumed = list(lk.pushFilters([EqualTo(("hash",), some_hash)]))
+    assert consumed == []
+    rows = 0
+    for p in lk.partitions():
+        for out in lk.read(p):
+            assert isinstance(out, pa.RecordBatch)
+            assert set(out.column("hash").to_pylist()) == {some_hash}
+            assert out.column("hash_ok").to_pylist() == [1] * out.num_rows
+            rows += out.num_rows
+    assert rows == 1
