@@ -21,25 +21,32 @@ def test_unscaled_dir_is_noop(sf_dir):
     assert _heavy_subset_dir(sf_dir) is None
 
 
-def test_scaled_dir_filters_to_copy0(tmp_path, sf_dir):
+_SUB = (("documents", "doc_id"), ("embeddings", "vec_id"), ("lineitem", "l_orderkey"))
+
+
+def _make_scaled(tmp_path, sf_dir):
     scaled = tmp_path / "scaled"
     scaled.mkdir()
     con = duckdb.connect()
-    # two copies of documents/embeddings with the bench copy-offset scheme
-    for t, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    # two copies of the subset tables with the bench copy-offset scheme
+    for t, key in _SUB:
         con.execute(
             f"COPY (SELECT * REPLACE ({key} + copy * {_COPY0_BOUND} AS {key})"
             f" FROM read_parquet('{sf_dir}/{t}.parquet'), range(2) r(copy))"
             f" TO '{scaled}/{t}.parquet' (FORMAT parquet)"
         )
     for t in bench.SCALE_TABLES:
-        if t in ("documents", "embeddings"):
+        if t in {s for s, _k in _SUB}:
             continue
         os.symlink(f"{sf_dir}/{t}.parquet", f"{scaled}/{t}.parquet")
+    return scaled, con
 
+
+def test_scaled_dir_filters_to_copy0(tmp_path, sf_dir):
+    scaled, con = _make_scaled(tmp_path, sf_dir)
     sub = _heavy_subset_dir(str(scaled))
-    assert sub == str(scaled / "copy0_subset")
-    for t, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    assert sub == str(scaled / "copy0_subset_v2")
+    for t, key in _SUB:
         n_base = con.execute(
             f"SELECT count(*) FROM read_parquet('{sf_dir}/{t}.parquet')"
         ).fetchone()[0]
@@ -56,4 +63,22 @@ def test_scaled_dir_filters_to_copy0(tmp_path, sf_dir):
     before = os.stat(os.path.join(sub, "documents.parquet")).st_mtime_ns
     assert _heavy_subset_dir(str(scaled)) == sub
     assert os.stat(os.path.join(sub, "documents.parquet")).st_mtime_ns == before
+    con.close()
+
+
+def test_stale_partial_subset_self_repairs(tmp_path, sf_dir):
+    """A partial copy0 dir without _DONE (crashed pre-tempdir build) must be
+    cleared and rebuilt, not wedge every subsequent run with ENOTEMPTY
+    (advisor r8 item)."""
+    scaled, con = _make_scaled(tmp_path, sf_dir)
+    stale = scaled / "copy0_subset_v2"
+    stale.mkdir()
+    (stale / "documents.parquet").write_bytes(b"partial garbage")
+    sub = _heavy_subset_dir(str(scaled))
+    assert sub == str(stale)
+    assert os.path.exists(os.path.join(sub, "_DONE"))
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sub}/documents.parquet')"
+    ).fetchone()[0]
+    assert n > 0  # real parquet, not the planted garbage
     con.close()

@@ -12,12 +12,18 @@ The three queries whose ORACLE side dominates sweep wall time
 (b35_dedup_clusters 1334 s, b36_cosine_neardup 597 s, b35_jaccard_pairs 536 s
 at the 10x corpus — each is the oracle's all-pairs SQL, with the Spark side a
 small fraction) are by default compared on the COPY-0 SUBSET of a scaled
-corpus (documents/embeddings filtered back to the base population, other
-tables shared): the oracle semantics are identical — same SQL, same engine
-plan shapes, every row still value-compared — only the all-pairs population
-the O(n²) oracle enumerates shrinks to base size (r6 verdict #9).  Full-size
-ENGINE evidence for these shapes lives in the bench scale10 section and the
-r6 full sweep (221/223, zero engine failures).  Flags:
+corpus (documents/embeddings/lineitem filtered back to the base population,
+other tables shared): the oracle semantics are identical — same SQL, same
+engine plan shapes, every row still value-compared — only the all-pairs
+population the O(n²) oracle enumerates shrinks to base size (r6 verdict #9).
+The four heavy ENGINE-side hotspots of the r8 sweep (HEAVY_ENGINE:
+b35_minhash_ml 1380 s + the three b23 full-lineitem function batteries,
+447/407/229 s — together 41 of the 71.6 recorded minutes) get the same
+copy-0 treatment since r9 (r8 verdict #6): their verification value is
+row-local function/pipeline semantics, and the copy-0 rerun measured 86 s
+for all four, 237/237 semantics unchanged.  Full-size ENGINE evidence for
+these shapes lives in the bench scale10 section and the r6 full sweep
+(221/223, zero engine failures).  Flags:
 
 --full-heavy  run the heavy oracles on the full dir anyway (the from-scratch
               claim-recording mode; costs ~40 min oracle-side at 10x)
@@ -38,9 +44,27 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 HEAVY_ORACLES = ("b35_dedup_clusters", "b36_cosine_neardup", "b35_jaccard_pairs")
 
-# Tables the heavy oracles enumerate all-pairs over, with the id column whose
-# copy-offset (bench._SCALED_SQL: id + copy * 10_000_000) identifies copy 0.
-_SUBSET_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+# Heavy ENGINE-side queries (r8 verdict #6): the four recorded hotspots of
+# the 71.6-min r8 sweep — b35_minhash_ml 1380 s (Spark ML LSH pipeline +
+# exact-verification oracle over documents) and the three full-lineitem
+# function batteries b23_math 447 s / b23_trig 407 s / b23_bitwise 229 s,
+# whose cost is collecting + value-hashing a 60M-row, 10+-column result on
+# BOTH engine and oracle sides.  Their verification value is row-local
+# function semantics, not scale behavior (scale evidence for these shapes
+# lives in the bench artifact), so the default sweep compares them on the
+# copy-0 subset — same SQL, same plan shapes, every row still
+# value-compared — exactly the r7 heavy-oracle policy.  --full-heavy
+# forces the full dir for from-scratch claim recording.
+HEAVY_ENGINE = ("b35_minhash_ml", "b23_math", "b23_trig", "b23_bitwise")
+
+# Tables the heavy queries scan, with the id column whose copy-offset
+# (bench._SCALED_SQL: id + copy * 10_000_000) identifies copy 0.  documents/
+# embeddings serve the all-pairs oracles; lineitem serves the b23 batteries.
+_SUBSET_TABLES = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey",
+}
 _COPY0_BOUND = 10_000_000
 
 
@@ -66,7 +90,10 @@ def _heavy_subset_dir(data_dir: str) -> str | None:
                 scaled = True
         if not scaled:
             return None
-        out = os.path.join(data_dir, "copy0_subset")
+        # v2: the subset now also filters lineitem (for the HEAVY_ENGINE
+        # b23 batteries) — a fresh cache name so a v1 dir (documents/
+        # embeddings only) can never serve a lineitem-subset read.
+        out = os.path.join(data_dir, "copy0_subset_v2")
         done = os.path.join(out, "_DONE")
         if not os.path.exists(done):
             # Self-repair: a partial `out` left by a crashed older build
@@ -149,8 +176,8 @@ def main() -> int:
         names = [n for n in names if n not in HEAVY_ORACLES]
 
     subset_dir: str | None = None
-    if not args.full_heavy and not args.skip_heavy and any(
-        n in HEAVY_ORACLES for n in names
+    if not args.full_heavy and any(
+        n in HEAVY_ORACLES or n in HEAVY_ENGINE for n in names
     ):
         subset_dir = _heavy_subset_dir(data_dir)
 
@@ -162,7 +189,9 @@ def main() -> int:
         t0 = time.time()
         cmp_dir = data_dir
         tag = ""
-        if name in HEAVY_ORACLES and subset_dir is not None:
+        if (
+            name in HEAVY_ORACLES or name in HEAVY_ENGINE
+        ) and subset_dir is not None:
             cmp_dir = subset_dir
             tag = " [copy0-subset]"
             subset_used.append(name)
