@@ -425,3 +425,119 @@ def b83_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_p90_e6", "err_p90",
         "est_p99_e6", "err_p99",
     )
+
+
+_HH_T = 500   # relative-frequency threshold denominator: heavy = cnt*T > n
+_HH_S = 16    # merge shards (any partitioning works; doc_id mod S here)
+
+
+@query(
+    "b84_heavy_hitters_merge",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % {_HH_S} AS shard,
+             unnest(string_split_regex(lower(trim(text)),
+                                       '[ \\t\\n\\r\\f]+')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (SELECT shard, term FROM toks WHERE term <> ''),
+    cnts AS (SELECT shard, term, count(*) AS c FROM t GROUP BY 1, 2),
+    sn AS (SELECT shard, sum(c) AS ns FROM cnts GROUP BY 1),
+    summ AS (
+      SELECT c.term, c.c FROM cnts c JOIN sn USING (shard)
+      WHERE c.c * {_HH_T} > sn.ns
+    ),
+    cand AS (SELECT term, sum(c) AS est FROM summ GROUP BY 1),
+    truth AS (SELECT term, sum(c) AS cnt FROM cnts GROUP BY 1),
+    tot AS (SELECT sum(ns) AS n, sum(ns // {_HH_T}) AS bound FROM sn),
+    hh AS (SELECT term, cnt FROM truth, tot WHERE cnt * {_HH_T} > n),
+    miss AS (SELECT count(*) AS missed FROM hh
+             WHERE term NOT IN (SELECT term FROM cand)),
+    err AS (SELECT coalesce(max(t2.cnt - cand.est), 0) AS max_under
+            FROM cand JOIN truth t2 USING (term))
+    SELECT CAST(tot.n AS BIGINT) AS n_tokens,
+           CAST({_HH_S} AS BIGINT) AS n_shards,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hh) AS BIGINT) AS n_true_hh,
+           CAST(miss.missed AS BIGINT) AS n_missed_true_hh,
+           CAST(err.max_under AS BIGINT) AS max_undercount,
+           CAST(tot.bound AS BIGINT) AS undercount_bound,
+           CAST(CASE WHEN err.max_under <= tot.bound THEN 1 ELSE 0 END
+                AS BIGINT) AS within_bound
+    FROM tot, miss, err
+    """,
+    tags=("B12", "sketch"),
+    doc="MERGEABLE heavy-hitters summaries (r8 verdict #9, the second "
+    "estimator off the b83 weighted-union scaffold; deterministic, so the "
+    "oracle is value-exact): each shard builds its summary INDEPENDENTLY "
+    "— the terms strictly above the LOCAL relative-frequency threshold "
+    "(cnt*T > n_shard), at most T-1 rows per shard — and the merge is a "
+    "weighted union (sum of retained counts).  Pigeonhole gives the "
+    "coverage guarantee this query WITNESSES exactly: a term with global "
+    "cnt*T > n must clear the local threshold in >= 1 shard (else "
+    "summing cnt_s*T <= n_s over shards contradicts it), so "
+    "n_missed_true_hh is 0 by mathematics, not luck; the undercount of "
+    "any merged estimate is bounded by sum(floor(n_s/T)) and "
+    "within_bound pins it.  Scale shape: ONE corpus-proportional "
+    "map-side-combined exchange (the (shard, term) count); every later "
+    "relation derives from it — shard totals (S rows), summaries "
+    "(<= S*(T-1) rows), the merged candidate set, and the vocabulary "
+    "truth relation (vocab-sized, never corpus-sized) — so the merge "
+    "stays bounded at any corpus size, the mergeable-summaries collapse. "
+    "Tokenizer class [ \\t\\n\\r\\f] matches RE2's \\s exactly on both "
+    "sides (the b82 discipline).",
+)
+def b84_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T_, S = _HH_T, _HH_S
+    toks = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.pmod(F.col("doc_id"), F.lit(S)).alias("shard"),
+            F.explode(
+                F.split(F.lower(F.trim("text")), "[ \t\n\r\f]+")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    # THE corpus exchange: per-(shard, term) counts, map-side combined.
+    # Every branch below reuses this exchange (identical subtree).
+    cnts = toks.groupBy("shard", "term").agg(F.count("*").alias("c"))
+    sn = cnts.groupBy("shard").agg(F.sum("c").alias("ns"))
+    summ = cnts.join(F.broadcast(sn), "shard").where(
+        F.col("c") * T_ > F.col("ns")
+    )
+    cand = summ.groupBy("term").agg(F.sum("c").alias("est"))
+    truth = cnts.groupBy("term").agg(F.sum("c").alias("cnt"))
+    tot = sn.agg(
+        F.sum("ns").cast("bigint").alias("n"),
+        F.sum(F.expr(f"ns DIV {T_}")).cast("bigint").alias("bound"),
+    )
+    hh = truth.crossJoin(F.broadcast(tot)).where(F.col("cnt") * T_ > F.col("n"))
+    miss = hh.join(cand, "term", "left_anti").agg(
+        F.count("*").cast("bigint").alias("missed")
+    )
+    n_hh = hh.agg(F.count("*").cast("bigint").alias("n_true_hh"))
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    err = (
+        cand.join(truth, "term")
+        .agg(F.coalesce(F.max(F.col("cnt") - F.col("est")), F.lit(0))
+             .cast("bigint").alias("max_under"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hh))
+        .crossJoin(F.broadcast(miss))
+        .crossJoin(F.broadcast(err))
+        .select(
+            F.col("n").alias("n_tokens"),
+            F.lit(S).cast("bigint").alias("n_shards"),
+            "n_candidates",
+            "n_true_hh",
+            F.col("missed").alias("n_missed_true_hh"),
+            F.col("max_under").alias("max_undercount"),
+            F.col("bound").alias("undercount_bound"),
+            F.when(F.col("max_under") <= F.col("bound"), 1)
+            .otherwise(0).cast("bigint").alias("within_bound"),
+        )
+    )

@@ -97,12 +97,30 @@ def _list_chunk_files(chunks_dir: str) -> list[tuple[str, str]]:
 class PsLakeReader(DataSourceReader):
     def __init__(self, options: dict):
         path = options.get("path")
-        if not path:
-            raise ValueError("pslake source requires .option('path', <store dir>)")
-        self.chunks_dir = _resolve_chunks_dir(path, int(options.get("generation", "0")))
+        # `path` is validated LAZILY (in partitions()): the SQL surface
+        # (`CREATE TABLE ... USING pslake`) probes the reader with EMPTY
+        # options during CREATE-time capability/schema checks, and the real
+        # table options only arrive with the scan — a hard requirement here
+        # would make the source unusable from pure SQL.
+        self.store_path = path
+        if path:
+            self.chunks_dir = _resolve_chunks_dir(
+                path, int(options.get("generation", "0"))
+            )
+            with open(os.path.join(path, "manifest.json")) as f:
+                self.prefix_len = int(json.load(f).get("prefix_len", 2))
+        else:
+            self.chunks_dir = None
+            self.prefix_len = 2
         self.verify = str(options.get("verify", "true")).lower() != "false"
-        with open(os.path.join(path, "manifest.json")) as f:
-            self.prefix_len = int(json.load(f).get("prefix_len", 2))
+        # pushdown=false declines every filter (no pruning state): needed
+        # for LONG-LIVED relations (temp views / reused DataFrames) —
+        # Spark 4.1 caches the post-pushdown read info per relation
+        # JVM-side, so a relation scanned once WITH a pushed filter serves
+        # that filtered partition list to every later scan (measured:
+        # full-count 11 -> filtered 1 -> full-count 1 on the same loaded
+        # DataFrame; a FRESH load() per query is isolated and safe).
+        self.pushdown = str(options.get("pushdown", "true")).lower() != "false"
         # pushed point-lookup state (see pushFilters): None = unconstrained
         self.hash_in: set | None = None
         self.prefix_in: set | None = None
@@ -114,7 +132,13 @@ class PsLakeReader(DataSourceReader):
         (store/mod.rs A6/A7) expressed as partition pruning, so
         ``WHERE hash = <h>`` plans exactly the one prefix directory instead
         of scanning the store.  Consumed filters are ALSO applied row-level
-        in read() (Spark does not re-evaluate what the source accepts)."""
+        in read() (Spark does not re-evaluate what the source accepts).
+
+        With pushdown=false every filter is declined untouched — the safe
+        mode for relations that outlive one query (see __init__)."""
+        if not self.pushdown:
+            yield from filters
+            return
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("hash",):
                 vals = {f.value}
@@ -136,6 +160,11 @@ class PsLakeReader(DataSourceReader):
             )
 
     def partitions(self):
+        if self.chunks_dir is None:
+            raise ValueError(
+                "pslake source requires a store path: .option('path', <dir>)"
+                " or CREATE TABLE ... USING pslake OPTIONS (path '<dir>')"
+            )
         files = _list_chunk_files(self.chunks_dir)
         if self.prefix_in is not None:
             files = [(f, p) for f, p in files if p in self.prefix_in]
