@@ -102,8 +102,13 @@ def _cms_seed_values() -> str:
 )
 def b75_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # Explicit [ \t\n\r\f] split class = RE2's \s exactly (the oracle's
+    # string_split_regex '\s+'): Java's \s additionally matches \v (\x0b),
+    # so a vertical-tab-bearing document would tokenize differently under
+    # the old r"\s+" — the same divergence class the advisor flagged on
+    # b82 (r9 retune; values at fixture scale unchanged).
     toks = docs.select(
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+        F.explode(F.split(F.lower(F.trim("text")), "[ \t\n\r\f]+")).alias("term")
     ).where(F.col("term") != "")
 
     # Pre-reduce the occurrence stream to (term, weight) — the map-side

@@ -393,6 +393,11 @@ _RETUNED_IN_R09 = frozenset(
         # the same ASCII whitespace set (advisor r8 item) — both sides of
         # the pair changed.
         "b82_udtf_polymorphic",
+        # b75_countmin's Spark-side tokenizer moved from Java \s+ (includes
+        # \v) to the explicit RE2-\s class [ \t\n\r\f]+ the oracle uses —
+        # the same character-class pin as b82 (values at fixture scale
+        # unchanged; the changed pair earns a fresh row).
+        "b75_countmin_heavy",
         # NOTE b75_bloom_filter is NOT here: the r8-verdict-#4 single-pass
         # fold of its two build-side distinct exchanges was measured and
         # REJECTED (2.20 s folded vs 1.35 s chained at 10x — explode before
