@@ -55,7 +55,17 @@ HEAVY_ORACLES = ("b35_dedup_clusters", "b36_cosine_neardup", "b35_jaccard_pairs"
 # copy-0 subset — same SQL, same plan shapes, every row still
 # value-compared — exactly the r7 heavy-oracle policy.  --full-heavy
 # forces the full dir for from-scratch claim recording.
-HEAVY_ENGINE = ("b35_minhash_ml", "b23_math", "b23_trig", "b23_bitwise")
+HEAVY_ENGINE = (
+    "b35_minhash_ml",
+    "b23_math",
+    "b23_trig",
+    "b23_bitwise",
+    # r9 sweep measurement: with the four above subset, the new slowest row
+    # was b03_projection at 242.5 s — the same class (full-lineitem
+    # row-local projection whose cost is the 60M-row collect+hash on both
+    # comparison sides), so it gets the same treatment.
+    "b03_projection",
+)
 
 # Tables the heavy queries scan, with the id column whose copy-offset
 # (bench._SCALED_SQL: id + copy * 10_000_000) identifies copy 0.  documents/
