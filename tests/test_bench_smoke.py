@@ -30,16 +30,29 @@ def test_bench_main_path(spark, sf_dir, capsys, monkeypatch):
         sf_dir=sf_dir,
         spark=spark,
     )
-    # the driver parses exactly one JSON line from stdout
-    out_lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
-    parsed = json.loads(out_lines[-1])
-    assert parsed["metric"] == "headline_queries_total_wall_clock"
-    assert set(parsed["queries"]) == {"b10_tpch_q1", "b38_put_dedup"}
-    assert all(v > 0 for v in parsed["queries"].values())
+    # stdout carries TWO JSON lines since r9: the full payload, then the
+    # compact tail line (the driver stores only the last ~2000 chars of
+    # output, and r8's scale summaries pushed the headline out of that
+    # window — the compact line keeps comparable/floor inside it).
+    out_lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.strip().startswith("{")
+    ]
+    full = json.loads(out_lines[-2])
+    compact = json.loads(out_lines[-1])
+    assert full["metric"] == "headline_queries_total_wall_clock"
+    assert set(full["queries"]) == {"b10_tpch_q1", "b38_put_dedup"}
+    assert all(v > 0 for v in full["queries"].values())
     assert payload["value"] == round(sum(payload["queries"].values()), 3)
     # DuckDB comparison column must be populated for oracle-bearing queries
     assert "b10_tpch_q1" in payload["duckdb"]
     assert payload["floor"]["spark_noop_sec"] > 0
+    # compact line: marked, ends with the two blocks the tail must carry,
+    # and agrees with the full payload
+    assert compact["compact_tail"] is True
+    assert list(compact)[-2:] == ["comparable", "floor"]
+    assert compact["comparable"] == payload["comparable"]
+    assert compact["floor"] == payload["floor"]
 
 
 # Recorded-curve ceilings at the 100x probe (r6 verdict #6): a q5/top-k plan
@@ -121,7 +134,10 @@ def test_bench_full_comparable_ratio_under_bar():
             env=env, capture_output=True, text=True, timeout=1800, cwd=repo,
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        # the FULL payload line (the last line is the r9 compact tail,
+        # which carries no scale100 section)
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("{") and '"conf"' in ln][-1]
         payload = json.loads(line)
         assert payload["scale100"]["error"] is None, payload["scale100"]["error"]
         ratios.append(payload["comparable"]["ratio"])
