@@ -555,3 +555,169 @@ def b84_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0).cast("bigint").alias("within_bound"),
         )
     )
+
+
+_KMV_K = 256                      # sketch size: k smallest hash values
+_KMV_M = 1 << 48                  # hash space: first 12 hex digits of sha256
+
+
+@query(
+    "b85_kmv_distinct_merge",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             user_id || '|' || event_type || '|' ||
+               CAST(CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS VARCHAR) AS key
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    dk AS (SELECT DISTINCT d, key FROM ev),
+    hd AS (
+      SELECT DISTINCT d,
+             CAST(('0x' || substr(sha256(key), 1, 12)) AS BIGINT) AS hv
+      FROM dk
+    ),
+    day_summ AS (
+      SELECT d, hv FROM (
+        SELECT d, hv, row_number() OVER (PARTITION BY d ORDER BY hv) AS rn
+        FROM hd
+      ) WHERE rn <= {_KMV_K}
+    ),
+    merged AS (SELECT DISTINCT hv FROM day_summ),
+    mk AS (
+      SELECT count(*) AS ck, CAST(coalesce(max(hv), 0) AS BIGINT) AS kth,
+             CAST(coalesce(sum(hv), 0) AS BIGINT) AS sk
+      FROM (SELECT hv FROM merged ORDER BY hv LIMIT {_KMV_K})
+    ),
+    gk AS (
+      SELECT count(*) AS ck, CAST(coalesce(max(hv), 0) AS BIGINT) AS kth,
+             CAST(coalesce(sum(hv), 0) AS BIGINT) AS sk
+      FROM (SELECT hv FROM (SELECT DISTINCT hv FROM hd)
+            ORDER BY hv LIMIT {_KMV_K})
+    ),
+    ex AS (SELECT count(*) AS exact_d
+           FROM (SELECT DISTINCT key FROM dk)),
+    nd AS (SELECT count(DISTINCT d) AS n_days FROM hd),
+    mr AS (SELECT count(*) AS merged_rows FROM merged),
+    est AS (
+      SELECT CASE WHEN mk.ck >= {_KMV_K}
+                  THEN ({_KMV_K - 1} * {_KMV_M}) // mk.kth
+                  ELSE mr.merged_rows END AS kmv_est
+      FROM mk, mr
+    )
+    SELECT CAST(nd.n_days AS BIGINT) AS n_days,
+           CAST(mr.merged_rows AS BIGINT) AS merged_rows,
+           CAST(ex.exact_d AS BIGINT) AS exact_distinct,
+           CAST(mk.kth AS BIGINT) AS kth_merged,
+           CAST(est.kmv_est AS BIGINT) AS kmv_est,
+           CAST(abs(est.kmv_est - ex.exact_d) * 10000 // ex.exact_d
+                AS BIGINT) AS err_bp,
+           CAST(CASE WHEN mk.kth = gk.kth AND mk.sk = gk.sk
+                     THEN 1 ELSE 0 END AS BIGINT) AS merge_lossless
+    FROM nd, mr, ex, mk, gk, est
+    """,
+    tags=("B12", "sketch"),
+    doc="MERGEABLE distinct-count summaries — KMV (k minimum values, "
+    "Bar-Yossef et al. 2002), the distinct-over-window half of the b83/"
+    "b84 mergeable-summaries family, fully deterministic (the repo's "
+    "portable sha256 hash) so the oracle is value-exact: each day keeps "
+    "the k smallest hash values of its distinct (user, type, hour) "
+    "activity keys; the merge is the k smallest of the union, and the "
+    "estimator is the integer (k-1)*M DIV h_(k).  merge_lossless "
+    "WITNESSES the mergeable property exactly — the kth minimum and the "
+    "k-minima sum computed from the merged per-day summaries equal the "
+    "same statistics computed directly on the full stream (each global "
+    "k-minimum is necessarily inside its day's k minima) — and err_bp "
+    "records the estimate's true relative error in basis points against "
+    "the exact distinct count.  Scale shape: after the distinct "
+    "exchanges (map-side combined, output activity-key-sized), the "
+    "per-day summary is one window over the per-day distinct hashes, "
+    "the merged relation is <= k*days rows, and both k-minima probes "
+    "are TakeOrdered (per-partition top-k + bounded driver merge), "
+    "never a global sort.",
+)
+def b85_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, M = _KMV_K, _KMV_M
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400").alias("d"),
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 3600").cast(
+                    "string"
+                ),
+            ).alias("key"),
+        )
+    )
+    dk = ev.distinct()
+    hd = dk.select(
+        "d",
+        F.conv(F.substring(F.sha2(F.col("key").cast("binary"), 256), 1, 12),
+               16, 10).cast("bigint").alias("hv"),
+    ).distinct()
+    day_summ = (
+        hd.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("d").orderBy("hv"))
+        )
+        .where(F.col("rn") <= K)
+        .select("d", "hv")
+    )
+    merged = day_summ.select("hv").distinct()
+
+    def kmin_stats(rel: DataFrame, ck: str, kth: str, sk: str) -> DataFrame:
+        """k-minima statistics via TakeOrdered (bounded), never a full sort."""
+        return rel.orderBy("hv").limit(K).agg(
+            F.count("*").alias(ck),
+            F.coalesce(F.max("hv"), F.lit(0)).cast("bigint").alias(kth),
+            F.coalesce(F.sum("hv"), F.lit(0)).cast("bigint").alias(sk),
+        )
+
+    mk = kmin_stats(merged, "ck_m", "kth_m", "sk_m")
+    gk = kmin_stats(hd.select("hv").distinct(), "ck_g", "kth_g", "sk_g")
+    ex = dk.select("key").distinct().agg(
+        F.count("*").cast("bigint").alias("exact_d")
+    )
+    nd = hd.select("d").distinct().agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    mr = merged.agg(F.count("*").cast("bigint").alias("merged_rows"))
+    est = F.when(
+        F.col("ck_m") >= K, F.expr(f"({K - 1} * CAST({M} AS BIGINT)) DIV kth_m")
+    ).otherwise(F.col("merged_rows"))
+    return (
+        nd.crossJoin(F.broadcast(mr))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(mk))
+        .crossJoin(F.broadcast(gk))
+        .withColumn("kmv_est", est.cast("bigint"))
+        .select(
+            "n_days",
+            "merged_rows",
+            "exact_d",
+            F.col("kth_m").alias("kth_merged"),
+            "kmv_est",
+            (
+                F.abs(F.col("kmv_est") - F.col("exact_d")) * 10000
+            ).cast("bigint").alias("_num"),
+            "exact_d",
+            F.col("kth_g"),
+            F.col("sk_m"),
+            F.col("sk_g"),
+        )
+        .select(
+            "n_days",
+            "merged_rows",
+            F.col("exact_d").alias("exact_distinct"),
+            "kth_merged",
+            "kmv_est",
+            F.expr("_num DIV exact_d").cast("bigint").alias("err_bp"),
+            F.when(
+                (F.col("kth_merged") == F.col("kth_g"))
+                & (F.col("sk_m") == F.col("sk_g")),
+                1,
+            ).otherwise(0).cast("bigint").alias("merge_lossless"),
+        )
+    )
