@@ -434,3 +434,34 @@ def test_sql_udf_inlines_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_heavy_hitters_merge_single_corpus_exchange(spark, sf_dir):
+    """b84: ONE corpus-proportional exchange — the (shard, term) count.
+    The shard-total and candidate relations must broadcast onto the
+    vocabulary relation (never shuffle it again), nothing drops to Python,
+    and after execution AQE must REUSE the corpus exchange across the
+    derived aggregation passes instead of re-scanning documents."""
+    df = SPECS["b84_heavy_hitters_merge"].build(spark, sf_dir)
+    static = _formatted_plan(df)
+    assert "CartesianProduct" not in static
+    assert "BatchEvalPython" not in static
+    assert "BroadcastHashJoin" in static
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, (
+        "derived passes must reuse the (shard, term) exchange"
+    )
+
+
+def test_kmv_merge_probes_are_take_ordered(spark, sf_dir):
+    """b85: both k-minima probes (merged summaries AND the full-stream
+    witness) must plan TakeOrderedAndProject — per-partition top-k with a
+    bounded driver merge — never a global Sort feeding a Limit, and the
+    scalar assembly must stay broadcast-side."""
+    plan = _formatted_plan(SPECS["b85_kmv_distinct_merge"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2, (
+        "k-minima probes must be TakeOrdered"
+    )
