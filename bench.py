@@ -152,9 +152,10 @@ SCALE_QUERIES = [
     # and rejected (2.20 s vs 1.35 s chained, sketch_pack.py body comment),
     # so this row records the chained plan's floor.
     "b75_bloom_filter",
-    # r9: scale evidence for the new mergeable heavy-hitters summary (one
-    # corpus-proportional exchange; everything downstream bounded).
+    # r9: scale evidence for the new mergeable summaries (one
+    # corpus-proportional exchange each; everything downstream bounded).
     "b84_heavy_hitters_merge",
+    "b85_kmv_distinct_merge",
 ]
 # 100x probe set (TPC-H tables only are multiplied — see _build_scaled_dir).
 # Extended in r5 beyond q1/q5 to the headline shapes whose ≥10x behavior was
