@@ -189,13 +189,10 @@ SCALE300_QUERIES = [
 SCALE1000_QUERIES = [
     "b10_tpch_q1",
     "b05_tpch_q5",
-    # r9 (r8 verdict #3): the pre-r8 composite-key q5, timed under the SAME
-    # protocol in the SAME section — the recorded packed-vs-unpacked pair
-    # adjudicates whether the r8 packed-key gain survives the driver's
-    # bench protocol (builder A/B said -16%; the r8 driver artifact moved
-    # +6%).  DuckDB side reuses q5's oracle, so its ratio cell is
-    # meaningful too.  Drop after the adjudication round.
-    "b05_tpch_q5_unpacked",
+    # r10: the r9 q5_unpacked A/B instrument is RETIRED — it answered its
+    # question (packed won in all three recorded pairs: r9 driver 6.63 vs
+    # 6.88 s, both r9 builder draws; decision recorded in BASELINE.md
+    # round-10), and the scale1000 section stays lean.
     "b13_rollup",
     "b18_topk",
 ]
@@ -526,20 +523,6 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     scale_queries = SCALE_QUERIES if scale_queries is None else scale_queries
     sf_dir = SF_DIR if sf_dir is None else sf_dir
     specs = all_queries()
-    # r9 reconciliation instrument (r8 verdict #3): time the pre-r8
-    # composite-key q5 alongside the packed-key plan in the scale1000
-    # section, under the identical driver protocol, so the packed-vs-
-    # unpacked question is settled by one artifact instead of dueling
-    # cross-run comparisons.  Bench-only: not part of the driver surface.
-    from ps_datalake_spark.queries.tpch_like import q5_unpacked
-    from ps_datalake_spark.registry import QuerySpec as _QS
-
-    specs["b05_tpch_q5_unpacked"] = _QS(
-        name="b05_tpch_q5_unpacked",
-        build=q5_unpacked,
-        oracle=specs["b05_tpch_q5"].oracle,
-        doc="bench-only A/B instrument; see q5_unpacked docstring",
-    )
     own_spark = spark is None
     if own_spark:
         spark = get_spark(app_name="ps-datalake-bench")
@@ -846,12 +829,17 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     }
     print(json.dumps(payload))
     # The driver artifact (BENCH_r{N}.json) stores only the LAST ~2000
-    # characters of stdout.  r8's per-query scale summaries pushed the
-    # headline `comparable` block out of that window, so the round's primary
-    # perf signal survived only in locally-committed draws (r8 verdict #1).
-    # Emit a second, compact line AFTER the full payload, with keys ordered
-    # least-important-first so that even if the line itself exceeds the
-    # window, the tail keeps scale10 -> scale1000 -> comparable -> floor.
+    # characters of stdout (verified: it truncates TEXT, it does not parse
+    # "the last JSON line" — r9's artifact tail is a mid-line text cut of
+    # the compact line).  r8's per-query scale summaries pushed the headline
+    # `comparable` block out of that window (r8 verdict #1); r9's compact
+    # line fixed that but itself measured ~2114 bytes, one probe row from
+    # eating `comparable` again (r9 verdict #4).  So the compact line is
+    # BOUNDED: ratios-only for the scale10/100/300 sections (engine/duckdb
+    # seconds survive in the full-payload line and in the committed builder
+    # draws), full engine+duckdb+ratio rows ONLY for the ~4-row scale1000
+    # headline section, keys still ordered least-important-first, and
+    # test_bench_smoke asserts a 1900-byte ceiling.
     def _ratios(sec: dict) -> dict:
         return {n: s["ratio"] for n, s in sec["summary"].items()}
 
@@ -863,12 +851,17 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
         "sf": payload["sf"],
         "scale300_ratio": _ratios(payload["scale300"]),
         "scale100_ratio": _ratios(payload["scale100"]),
-        "scale10": payload["scale10"]["summary"],
+        "scale10_ratio": _ratios(payload["scale10"]),
         "scale1000": payload["scale1000"]["summary"],
         "comparable": payload["comparable"],
         "floor": payload["floor"],
     }
-    print(json.dumps(compact))
+    line = json.dumps(compact)
+    assert len(line) <= 1900, (
+        f"compact tail {len(line)}B exceeds the driver's ~2000B stdout "
+        "window; trim a section"
+    )
+    print(line)
     if own_spark:
         spark.stop()
     return payload

@@ -702,7 +702,6 @@ def b85_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("kmv_est") - F.col("exact_d")) * 10000
             ).cast("bigint").alias("_num"),
-            "exact_d",
             F.col("kth_g"),
             F.col("sk_m"),
             F.col("sk_g"),

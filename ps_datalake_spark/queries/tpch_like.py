@@ -101,20 +101,9 @@ def b10_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer-nation = supplier-nation co-location predicate.",
 )
 def b05_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _q5_impl(spark, sf_dir, packed=True)
-
-
-def q5_unpacked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pre-r8 composite-key plan, kept ONLY as bench.py's scale1000
-    reconciliation instrument (r8 verdict #3): the builder's interleaved A/B
-    said the packed key cut 16% (8.52 -> 7.17 s) but the r8 driver artifact
-    recorded 7.97 s (+6% over r7) — recording BOTH variants under the
-    driver's own protocol in one artifact settles which number is real.
-    Not registered: the driver surface carries b05_tpch_q5 only."""
-    return _q5_impl(spark, sf_dir, packed=False)
-
-
-def _q5_impl(spark: SparkSession, sf_dir: str, packed: bool) -> DataFrame:
+    # (The r8/r9 q5_unpacked A/B instrument is retired as of r10: packed won
+    # in all three recorded pairs — r9 driver 6.63 vs 6.88 s and both r9
+    # builder draws — decision recorded in BASELINE.md round-10.)
     # lineitem is the probe stream: dimensions are size-aware broadcast hints
     # (Catalyst's unhinted static plan broadcasts the FACT at small SF because
     # its file squeaks under the threshold — wrong side at every scale).
@@ -206,43 +195,30 @@ def _q5_impl(spark: SparkSession, sf_dir: str, packed: bool) -> DataFrame:
     # equalities and the join runs on Spark's fast single-long hashed
     # relation.  Overflow bound: needs orderkey < 2^63/32 ≈ 2.9e17 — TPC-H
     # SF 100k (~100 TB) peaks near 6e11.
-    # r9 RECONCILIATION (r8 verdict #3): the r8 builder A/B's "-16%"
-    # (8.52 -> 7.17 s) does NOT survive the driver's bench protocol — the
-    # driver-faithful pair (fresh session, bench profile, noop-write force,
-    # 3 min-merged sweeps, interleaved) measured packed 8.29 s vs unpacked
-    # 8.65 s at 1000x: a ~4% edge, within this host's draw spread.  Root
-    # cause of the stale claim: a collect()-timed A/B re-collects the SAME
-    # DataFrame and Spark silently reuses its shuffle map stages (measured
-    # 17.2 s first collect -> 0.07 s re-collect), so any collect-based
-    # timing of a reused DF is invalid; bench's noop WRITE re-executes the
-    # full plan each run.  The packed key stays (never worse, single-long
-    # hashed relation), and bench.py's scale1000 section now times BOTH
-    # variants (b05_tpch_q5_unpacked) so the pair is artifact-recorded.
+    # r9 RECONCILIATION (r8 verdict #3, CLOSED r10): packed beat the pre-r8
+    # composite key in all three recorded driver-protocol pairs (r9 driver
+    # 6.63 vs 6.88 s; both r9 builder draws), so the unpacked instrument is
+    # retired and the packed key stands.  The protocol rule that settled it
+    # stays on record (BASELINE.md round-9): a collect()-timed A/B that
+    # re-collects the SAME DataFrame silently reuses its shuffle map stages
+    # (17.2 s first collect -> 0.07 s re-collect) and is invalid; bench's
+    # noop WRITE re-executes the full plan each run.
     # Also measured-and-rejected r9: forcing broadcast of the ~9M-row ock
     # at 1000x (10.23 s vs 9.05 s shuffle_hash in the same session — the
     # per-run 72 MB hashed-relation build exceeds the probe exchange it
     # saves); and r8's byte-narrowing variant (8.49 s, unchanged) — row
     # count and key hashing, not bytes, are the residual.
     pack = F.lit(32)
-    if packed:
-        lik = li.join(s_asia, F.col("l_suppkey") == F.col("s_suppkey")).select(
-            (F.col("l_orderkey") * pack + F.col("s_nationkey")).alias("lk"),
-            "s_nationkey",
-            "l_extendedprice",
-            "l_discount",
-        )
-        ock = oc.select(
-            (F.col("o_orderkey") * pack + F.col("c_nationkey")).alias("ok")
-        )
-        join_cond = F.col("lk") == F.col("ok")
-    else:  # the pre-r8 composite-key plan (bench reconciliation instrument)
-        lik = li.join(s_asia, F.col("l_suppkey") == F.col("s_suppkey")).select(
-            "l_orderkey", "s_nationkey", "l_extendedprice", "l_discount"
-        )
-        ock = oc
-        join_cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
-            F.col("s_nationkey") == F.col("c_nationkey")
-        )
+    lik = li.join(s_asia, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        (F.col("l_orderkey") * pack + F.col("s_nationkey")).alias("lk"),
+        "s_nationkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+    ock = oc.select(
+        (F.col("o_orderkey") * pack + F.col("c_nationkey")).alias("ok")
+    )
+    join_cond = F.col("lk") == F.col("ok")
     ord_bytes = table_bytes(sf_dir, "orders")
     if ord_bytes is not None and ord_bytes // 15 < 8 << 20:
         ock = F.broadcast(ock)

@@ -408,21 +408,54 @@ _RETUNED_IN_R09 = frozenset(
 )
 
 
+# The 50 queries with a green (rows+schema+hash) driver row in round 9's
+# CORRECTNESS_r09.json — the NEWEST evidence, rotated to the back for round
+# 10 (50/50 green: the 3 new + 2 retuned r9 queries plus the stalest
+# r4/r5-evidence rows).  Generated from the artifact's keys verbatim.
+_DRIVER_GREEN_R09 = frozenset(
+    {
+        "b04_tpch_q6", "b10_collect_agg", "b10_tpch_q3",
+        "b12_approx_percentile", "b13_pivot", "b14_rank_ext", "b19_union",
+        "b20_setops", "b21_strings", "b21_strings_ext", "b22_dates",
+        "b22_dates_ext", "b23_bitwise", "b23_math", "b23_trig",
+        "b24_conditional", "b24_try_funcs", "b25_array_construct",
+        "b25_array_explode", "b25_array_funcs", "b25_array_setops",
+        "b25_explode_outer", "b25_zip_with", "b26_maps", "b27_json",
+        "b35_minhash_lsh", "b35_minhash_ml", "b35_simhash",
+        "b37_token_count_bpe", "b39_frame_sample", "b40_sql_correlated",
+        "b40_sql_cte", "b43_stratified_sample", "b43_train_val_test_split",
+        "b44_rollup_cascade", "b45_cohort_retention", "b45_funnel",
+        "b45_histogram", "b51_embedding_quant", "b53_tpch_q12",
+        "b53_tpch_q14", "b53_tpch_q19", "b53_tpch_q22", "b53_tpch_q4",
+        "b54_fuzzy_name_match", "b75_countmin_heavy", "b78_pslake_sql",
+        "b82_udtf_polymorphic", "b84_heavy_hitters_merge",
+        "b85_kmv_distinct_merge",
+    }
+)
+
+# Round-10 retunes: queries whose Spark/oracle pair changed this round and
+# therefore need a fresh hash-verified driver row even though a historical
+# row exists.  Populated as round-10 work lands.
+_RETUNED_IN_R10: frozenset[str] = frozenset()
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules on first access so the registry is populated.
     from . import queries as _  # noqa: F401
 
     # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
-    # Round-9 window = rank 0 (new/retuned this round) followed by the
-    # queries whose freshest green evidence is OLDEST — after r8 refreshed
-    # the r3-evidence rows, the stalest survivors are the round-4-evidence
-    # queries (rank 3), then round-5 (rank 4) filling the remaining slots.
-    # Every query is driver-green at least once (r6-r8 verdicts), so the
-    # window purely rotates the oldest evidence forward for re-verification;
-    # newest evidence (r8) sits at the back.
+    # Round-10 window = rank 0 (new/retuned this round) followed by the
+    # queries whose freshest green evidence is OLDEST — after r9 refreshed
+    # the stale r4/r5-evidence rows, the stalest survivors are the remaining
+    # round-5-evidence queries (rank 4), then round-6 (rank 5) filling the
+    # remaining slots.  Every query is driver-green at least once (r6-r9
+    # verdicts), so the window purely rotates the oldest evidence forward for
+    # re-verification; newest evidence (r9) sits at the back.
     def rank(name: str) -> int:
-        if name in _RETUNED_IN_R09:
+        if name in _RETUNED_IN_R10:
             return 0
+        if name in _DRIVER_GREEN_R09:
+            return 8
         if name in _DRIVER_GREEN_R08:
             return 7
         if name in _DRIVER_GREEN_R07:

@@ -177,7 +177,10 @@ class PsLakeReader(DataSourceReader):
         the r8 verdict's symmetric-with-the-sink read path.  The pushed
         hash lookup applies as a vectorized is_in mask; only the sha256
         verification walks rows (hashlib is per-buffer by nature), and it
-        reads the binary values zero-copy from the Arrow buffers."""
+        feeds each payload to hashlib as a BinaryScalar.as_buffer() view —
+        a zero-copy slice of the Arrow data buffer, not a Python bytes
+        copy (advisor r9 item; the 64-char hex digests for comparison are
+        still materialized per row, which is cheap and unavoidable)."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -209,7 +212,7 @@ class PsLakeReader(DataSourceReader):
                     [
                         1
                         if hashlib.sha256(
-                            d.as_py() if d.is_valid else b""
+                            d.as_buffer() if d.is_valid else b""
                         ).hexdigest()
                         == h
                         else 0

@@ -53,6 +53,24 @@ def test_bench_main_path(spark, sf_dir, capsys, monkeypatch):
     assert list(compact)[-2:] == ["comparable", "floor"]
     assert compact["comparable"] == payload["comparable"]
     assert compact["floor"] == payload["floor"]
+    # r10 (r9 verdict #4): the compact line must FIT the driver's ~2000B
+    # stdout window at FULL production size, or `comparable`/`floor` get
+    # text-truncated out of the artifact again.  The smoke run's sections
+    # are smaller than production's, so project the production size: rebuild
+    # the line with one ratio entry per production bench-list member (the
+    # ratio sections) and one full summary row per SCALE1000 member, using
+    # worst-case-width values.
+    proj = dict(compact)
+    proj["scale10_ratio"] = {n: 12.34 for n in bench.SCALE_QUERIES}
+    proj["scale100_ratio"] = {n: 12.34 for n in bench.SCALE100_QUERIES}
+    proj["scale300_ratio"] = {n: 12.34 for n in bench.SCALE300_QUERIES}
+    proj["scale1000"] = {
+        n: {"engine_sec": 123.456, "duckdb_sec": 123.456, "ratio": 12.34}
+        for n in bench.SCALE1000_QUERIES
+    }
+    assert len(json.dumps(proj)) <= 1900, (
+        "projected production compact line exceeds the driver window"
+    )
 
 
 # Recorded-curve ceilings at the 100x probe (r6 verdict #6): a q5/top-k plan

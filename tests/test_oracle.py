@@ -50,11 +50,12 @@ def test_no_complex_result_columns(spark, sf_dir):
 
 
 def test_driver_window_covers_unchecked_queries():
-    """Round-9 window invariant: the driver's 50-slot CORRECTNESS window must
+    """Round-10 window invariant: the driver's 50-slot CORRECTNESS window must
     hold (in priority order) anything new/retuned this round, then the OLDEST
-    surviving evidence — after r8 refreshed the r3-evidence rows, the stalest
-    survivors are the round-4-evidence queries, then round-5 filling the
-    remaining slots; everything r6/r7/r8-verified rotates to the back."""
+    surviving evidence — after r9 refreshed the stale r4/r5-evidence rows, the
+    stalest survivors are the remaining round-5-evidence queries, then round-6
+    filling the remaining slots; everything r7/r8/r9-verified rotates to the
+    back."""
     from ps_datalake_spark.registry import (
         _DRIVER_GREEN_R01,
         _DRIVER_GREEN_R02,
@@ -64,7 +65,8 @@ def test_driver_window_covers_unchecked_queries():
         _DRIVER_GREEN_R06,
         _DRIVER_GREEN_R07,
         _DRIVER_GREEN_R08,
-        _RETUNED_IN_R09,
+        _DRIVER_GREEN_R09,
+        _RETUNED_IN_R10,
     )
 
     names = list(SPECS)
@@ -78,12 +80,13 @@ def test_driver_window_covers_unchecked_queries():
         | _DRIVER_GREEN_R06
         | _DRIVER_GREEN_R07
         | _DRIVER_GREEN_R08
+        | _DRIVER_GREEN_R09
     )
     # rank 0: queries with no green driver row (never checked, or retuned
     # this round).  Once MORE than 50 rank-0 queries exist, overflow is
     # unavoidable — but then every window slot must hold a rank-0 entry:
     # nothing with existing green evidence may displace an unverified query.
-    rank0 = (set(names) - ever_green) | _RETUNED_IN_R09
+    rank0 = (set(names) - ever_green) | _RETUNED_IN_R10
     if len(rank0) <= 50:
         assert rank0 <= window, (
             f"never-verified queries outside window: {sorted(rank0 - window)}"
@@ -93,37 +96,41 @@ def test_driver_window_covers_unchecked_queries():
             f"evidence-bearing queries inside an overflowing window: "
             f"{sorted(window - rank0)}"
         )
-    assert not (window & (_DRIVER_GREEN_R08 - _RETUNED_IN_R09)), (
-        "fresh r8 greens must rotate to the back"
+    assert not (window & (_DRIVER_GREEN_R09 - _RETUNED_IN_R10)), (
+        "fresh r9 greens must rotate to the back"
     )
-    # queries whose newest evidence is round 3 (if any remain) fill the next
-    # slots, then round-4 evidence; fresher r5-r8 evidence must never
-    # displace them.
-    newer_than_r3 = (
-        _DRIVER_GREEN_R04
-        | _DRIVER_GREEN_R05
-        | _DRIVER_GREEN_R06
-        | _DRIVER_GREEN_R07
-        | _DRIVER_GREEN_R08
-    )
-    r3_only = (
-        _DRIVER_GREEN_R03 | _DRIVER_GREEN_R02 | _DRIVER_GREEN_R01
-    ) - newer_than_r3
-    outside = r3_only - window
-    if outside:
-        assert len(rank0) + len(r3_only) > 50, (
-            f"stale r3 evidence outside a non-full window: {sorted(outside)}"
-        )
-    fresher = (
+    # queries whose newest evidence is round 4 or older (if any remain) fill
+    # the next slots, then round-5 evidence; fresher r6-r9 evidence must
+    # never displace them.
+    newer_than_r4 = (
         _DRIVER_GREEN_R05
         | _DRIVER_GREEN_R06
         | _DRIVER_GREEN_R07
         | _DRIVER_GREEN_R08
-    ) - _RETUNED_IN_R09
-    r4_only = _DRIVER_GREEN_R04 - fresher
-    if len(rank0 | r3_only | r4_only) >= 50:
+        | _DRIVER_GREEN_R09
+    )
+    r4_or_older_only = (
+        _DRIVER_GREEN_R04
+        | _DRIVER_GREEN_R03
+        | _DRIVER_GREEN_R02
+        | _DRIVER_GREEN_R01
+    ) - newer_than_r4
+    outside = r4_or_older_only - window
+    if outside:
+        assert len(rank0) + len(r4_or_older_only) > 50, (
+            f"stale r4-or-older evidence outside a non-full window: "
+            f"{sorted(outside)}"
+        )
+    fresher = (
+        _DRIVER_GREEN_R06
+        | _DRIVER_GREEN_R07
+        | _DRIVER_GREEN_R08
+        | _DRIVER_GREEN_R09
+    ) - _RETUNED_IN_R10
+    r5_only = _DRIVER_GREEN_R05 - fresher
+    if len(rank0 | r4_or_older_only | r5_only) >= 50:
         assert not (window & fresher), (
-            "r5/r6/r7/r8-verified queries occupy slots while stale evidence "
+            "r6/r7/r8/r9-verified queries occupy slots while stale evidence "
             "waits"
         )
 

@@ -14,14 +14,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import bench  # noqa: E402
-from sweep import _COPY0_BOUND, _heavy_subset_dir  # noqa: E402
+from sweep import _SUBSET_TABLES, _heavy_subset_dir  # noqa: E402
 
 
 def test_unscaled_dir_is_noop(sf_dir):
     assert _heavy_subset_dir(sf_dir) is None
 
 
-_SUB = (("documents", "doc_id"), ("embeddings", "vec_id"), ("lineitem", "l_orderkey"))
+# (table, id column, per-table copy offset) — offsets mirror bench._SCALED_SQL:
+# documents/embeddings hardcode 10M, TPC-H tables use bench._KEY_OFFSET.
+_SUB = tuple((t, key, bound) for t, (key, bound) in _SUBSET_TABLES.items())
 
 
 def _make_scaled(tmp_path, sf_dir):
@@ -29,14 +31,14 @@ def _make_scaled(tmp_path, sf_dir):
     scaled.mkdir()
     con = duckdb.connect()
     # two copies of the subset tables with the bench copy-offset scheme
-    for t, key in _SUB:
+    for t, key, bound in _SUB:
         con.execute(
-            f"COPY (SELECT * REPLACE ({key} + copy * {_COPY0_BOUND} AS {key})"
+            f"COPY (SELECT * REPLACE ({key} + copy * {bound} AS {key})"
             f" FROM read_parquet('{sf_dir}/{t}.parquet'), range(2) r(copy))"
             f" TO '{scaled}/{t}.parquet' (FORMAT parquet)"
         )
     for t in bench.SCALE_TABLES:
-        if t in {s for s, _k in _SUB}:
+        if t in {s for s, _k, _b in _SUB}:
             continue
         os.symlink(f"{sf_dir}/{t}.parquet", f"{scaled}/{t}.parquet")
     return scaled, con
@@ -46,7 +48,7 @@ def test_scaled_dir_filters_to_copy0(tmp_path, sf_dir):
     scaled, con = _make_scaled(tmp_path, sf_dir)
     sub = _heavy_subset_dir(str(scaled))
     assert sub == str(scaled / "copy0_subset_v2")
-    for t, key in _SUB:
+    for t, key, bound in _SUB:
         n_base = con.execute(
             f"SELECT count(*) FROM read_parquet('{sf_dir}/{t}.parquet')"
         ).fetchone()[0]
@@ -54,7 +56,7 @@ def test_scaled_dir_filters_to_copy0(tmp_path, sf_dir):
             f"SELECT count(*), max({key}) FROM read_parquet('{sub}/{t}.parquet')"
         ).fetchone()
         assert n_sub == n_base, t
-        assert mx < _COPY0_BOUND, t
+        assert mx < bound, t
     # every other table is shared (symlinked), and the cache marker exists
     for t in bench.SCALE_TABLES:
         assert os.path.exists(os.path.join(sub, f"{t}.parquet")), t

@@ -67,15 +67,19 @@ HEAVY_ENGINE = (
     "b03_projection",
 )
 
-# Tables the heavy queries scan, with the id column whose copy-offset
-# (bench._SCALED_SQL: id + copy * 10_000_000) identifies copy 0.  documents/
-# embeddings serve the all-pairs oracles; lineitem serves the b23 batteries.
+# Tables the heavy queries scan: (id column, copy-0 bound).  The bound is
+# PER TABLE because bench._SCALED_SQL uses two different copy offsets —
+# documents/embeddings hardcode id + copy * 10_000_000, while the TPC-H
+# tables use bench._KEY_OFFSET (100_000_000).  A shared 10M bound would
+# misclassify a larger base lineitem fixture (l_orderkey >= 10M, e.g.
+# TPC-H sf >= 2) as scaled and silently truncate it (advisor r9 item).
+# documents/embeddings serve the all-pairs oracles; lineitem serves the
+# b23 batteries.
 _SUBSET_TABLES = {
-    "documents": "doc_id",
-    "embeddings": "vec_id",
-    "lineitem": "l_orderkey",
+    "documents": ("doc_id", 10_000_000),
+    "embeddings": ("vec_id", 10_000_000),
+    "lineitem": ("l_orderkey", 100_000_000),
 }
-_COPY0_BOUND = 10_000_000
 
 
 def _heavy_subset_dir(data_dir: str) -> str | None:
@@ -92,11 +96,11 @@ def _heavy_subset_dir(data_dir: str) -> str | None:
     con = duckdb.connect()
     try:
         scaled = False
-        for t, key in _SUBSET_TABLES.items():
+        for t, (key, bound) in _SUBSET_TABLES.items():
             mx = con.execute(
                 f"SELECT max({key}) FROM read_parquet('{data_dir}/{t}.parquet')"
             ).fetchone()[0]
-            if mx is not None and mx >= _COPY0_BOUND:
+            if mx is not None and mx >= bound:
                 scaled = True
         if not scaled:
             return None
@@ -120,10 +124,10 @@ def _heavy_subset_dir(data_dir: str) -> str | None:
             # loser's rename fails on the existing dir and is discarded).
             tmp = f"{out}.tmp.{os.getpid()}"
             os.makedirs(tmp, exist_ok=True)
-            for t, key in _SUBSET_TABLES.items():
+            for t, (key, bound) in _SUBSET_TABLES.items():
                 con.execute(
                     f"COPY (SELECT * FROM read_parquet('{data_dir}/{t}.parquet')"
-                    f" WHERE {key} < {_COPY0_BOUND})"
+                    f" WHERE {key} < {bound})"
                     f" TO '{tmp}/{t}.parquet' (FORMAT parquet)"
                 )
             for t in bench.SCALE_TABLES:
