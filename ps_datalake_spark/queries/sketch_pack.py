@@ -628,12 +628,27 @@ _KMV_M = 1 << 48                  # hash space: first 12 hex digits of sha256
     "same statistics computed directly on the full stream (each global "
     "k-minimum is necessarily inside its day's k minima) — and err_bp "
     "records the estimate's true relative error in basis points against "
-    "the exact distinct count.  Scale shape: after the distinct "
-    "exchanges (map-side combined, output activity-key-sized), the "
-    "per-day summary is one window over the per-day distinct hashes, "
-    "the merged relation is <= k*days rows, and both k-minima probes "
-    "are TakeOrdered (per-partition top-k + bounded driver merge), "
-    "never a global sort.",
+    "the exact distinct count.  Scale shape (r10 retune, measured at the "
+    "10x probe: 0.70 -> 0.60 s): ONE corpus-proportional map-side-combined "
+    "exchange — groupBy(key) — from which every branch derives.  The key "
+    "embeds the HOUR, and the hour determines the day (d = hour DIV 24), "
+    "so groupBy(key) with min(d) IS distinct(d, key) and exact_d is its "
+    "free count(*); the r9 draft paid five corpus-sized distinct "
+    "exchanges for the same relations.  sha256 runs once per DISTINCT "
+    "key (the b75-CMS pre-reduction discipline).  The per-day summary is "
+    "one window over the derived (d, hv) rows using dense_rank (ties = "
+    "48-bit collisions collapse in the merged distinct, so the kept "
+    "DISTINCT-hv set per day is exactly the oracle's row_number-over-"
+    "distinct set); the merged relation is <= k*days rows, n_days reads "
+    "the bounded day summary (every day keeps >= 1 row), and both "
+    "k-minima probes are TakeOrdered (per-partition top-k + bounded "
+    "driver merge), never a global sort.  The global witness probe keeps "
+    "its own distinct over the derived hv column — the one remaining "
+    "corpus-sized exchange beyond groupBy(key) — because deriving it "
+    "from the merged summaries would make the merge_lossless witness "
+    "circular (a kth_m-threshold prefilter variant was measured and "
+    "rejected: 0.77 s vs 0.60 s at 10x, it serializes the witness branch "
+    "behind the full day-summary chain; PLANS.md round-10).",
 )
 def b85_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, M = _KMV_K, _KMV_M
@@ -652,17 +667,20 @@ def b85_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("key"),
         )
     )
-    dk = ev.distinct()
-    hd = dk.select(
+    # THE corpus exchange (see docstring: min(d) is exact because the key
+    # embeds the hour).  Every downstream relation derives from it; the
+    # shuffle's map side runs once (ReusedExchange, plan-pinned).
+    kd = ev.groupBy("key").agg(F.min("d").alias("d"))
+    kh = kd.select(
         "d",
         F.conv(F.substring(F.sha2(F.col("key").cast("binary"), 256), 1, 12),
                16, 10).cast("bigint").alias("hv"),
-    ).distinct()
+    )
     day_summ = (
-        hd.withColumn(
-            "rn", F.row_number().over(Window.partitionBy("d").orderBy("hv"))
+        kh.withColumn(
+            "rk", F.dense_rank().over(Window.partitionBy("d").orderBy("hv"))
         )
-        .where(F.col("rn") <= K)
+        .where(F.col("rk") <= K)
         .select("d", "hv")
     )
     merged = day_summ.select("hv").distinct()
@@ -676,11 +694,9 @@ def b85_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     mk = kmin_stats(merged, "ck_m", "kth_m", "sk_m")
-    gk = kmin_stats(hd.select("hv").distinct(), "ck_g", "kth_g", "sk_g")
-    ex = dk.select("key").distinct().agg(
-        F.count("*").cast("bigint").alias("exact_d")
-    )
-    nd = hd.select("d").distinct().agg(
+    gk = kmin_stats(kh.select("hv").distinct(), "ck_g", "kth_g", "sk_g")
+    ex = kh.agg(F.count("*").cast("bigint").alias("exact_d"))
+    nd = day_summ.select("d").distinct().agg(
         F.count("*").cast("bigint").alias("n_days")
     )
     mr = merged.agg(F.count("*").cast("bigint").alias("merged_rows"))

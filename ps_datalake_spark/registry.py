@@ -435,8 +435,16 @@ _DRIVER_GREEN_R09 = frozenset(
 
 # Round-10 retunes: queries whose Spark/oracle pair changed this round and
 # therefore need a fresh hash-verified driver row even though a historical
-# row exists.  Populated as round-10 work lands.
-_RETUNED_IN_R10: frozenset[str] = frozenset()
+# row exists.
+_RETUNED_IN_R10 = frozenset(
+    {
+        # b85's five corpus-sized distinct exchanges folded into ONE
+        # groupBy(key) exchange (the key embeds the hour, so min(d) is
+        # exact distinct(d,key) and exact_d a free count; 0.70 -> 0.60 s
+        # at 10x) — Spark-side plan changed, oracle unchanged.
+        "b85_kmv_distinct_merge",
+    }
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -465,3 +465,15 @@ def test_kmv_merge_probes_are_take_ordered(spark, sf_dir):
     assert plan.count("TakeOrderedAndProject") >= 2, (
         "k-minima probes must be TakeOrdered"
     )
+
+
+def test_kmv_merge_single_corpus_exchange(spark, sf_dir):
+    """b85 r10 retune: every branch derives from ONE groupBy(key) corpus
+    exchange — the executed plan must reuse it (the r9 draft paid five
+    corpus-sized distinct exchanges for the same relations)."""
+    df = SPECS["b85_kmv_distinct_merge"].build(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, (
+        "derived branches must reuse the groupBy(key) exchange"
+    )
