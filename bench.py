@@ -156,6 +156,10 @@ SCALE_QUERIES = [
     # corpus-proportional exchange each; everything downstream bounded).
     "b84_heavy_hitters_merge",
     "b85_kmv_distinct_merge",
+    # r10: the incremental-refresh demonstration over the KMV summary
+    # (one corpus exchange, four ReusedExchange branches, all probes
+    # TakeOrdered; 0.40 s at 10x in the build session).
+    "b86_kmv_incremental_refresh",
 ]
 # 100x probe set (TPC-H tables only are multiplied — see _build_scaled_dir).
 # Extended in r5 beyond q1/q5 to the headline shapes whose ≥10x behavior was

@@ -629,8 +629,8 @@ _KMV_M = 1 << 48                  # hash space: first 12 hex digits of sha256
     "k-minimum is necessarily inside its day's k minima) — and err_bp "
     "records the estimate's true relative error in basis points against "
     "the exact distinct count.  Scale shape (r10 retune, measured at the "
-    "10x probe: 0.70 -> 0.60 s): ONE corpus-proportional map-side-combined "
-    "exchange — groupBy(key) — from which every branch derives.  The key "
+    "10x probe: 0.70 -> 0.60 s): one corpus-proportional map-side-combined "
+    "groupBy(key) exchange feeds the day/count branches.  The key "
     "embeds the HOUR, and the hour determines the day (d = hour DIV 24), "
     "so groupBy(key) with min(d) IS distinct(d, key) and exact_d is its "
     "free count(*); the r9 draft paid five corpus-sized distinct "
@@ -643,12 +643,16 @@ _KMV_M = 1 << 48                  # hash space: first 12 hex digits of sha256
     "the bounded day summary (every day keeps >= 1 row), and both "
     "k-minima probes are TakeOrdered (per-partition top-k + bounded "
     "driver merge), never a global sort.  The global witness probe keeps "
-    "its own distinct over the derived hv column — the one remaining "
-    "corpus-sized exchange beyond groupBy(key) — because deriving it "
-    "from the merged summaries would make the merge_lossless witness "
-    "circular (a kth_m-threshold prefilter variant was measured and "
-    "rejected: 0.77 s vs 0.60 s at 10x, it serializes the witness branch "
-    "behind the full day-summary chain; PLANS.md round-10).",
+    "its own distinct over the derived hv column — column pruning "
+    "specializes its subtree to a bare distinct-key exchange plus the "
+    "distinct-hv exchange (so the executed plan carries these alongside "
+    "the min(d) exchange; forcing subtree identity with a pruning "
+    "barrier was measured SLOWER, 0.98-1.04 vs 0.86-0.94 s interleaved "
+    "at 10x) — because deriving the witness from the merged summaries "
+    "would make merge_lossless circular (a kth_m-threshold prefilter "
+    "variant was also measured and rejected: 0.77 s vs 0.60 s at 10x, "
+    "it serializes the witness branch behind the full day-summary "
+    "chain; PLANS.md round-10).",
 )
 def b85_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, M = _KMV_K, _KMV_M
@@ -667,9 +671,10 @@ def b85_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("key"),
         )
     )
-    # THE corpus exchange (see docstring: min(d) is exact because the key
-    # embeds the hour).  Every downstream relation derives from it; the
-    # shuffle's map side runs once (ReusedExchange, plan-pinned).
+    # The corpus exchange (see docstring: min(d) is exact because the key
+    # embeds the hour).  The day/count branches share it; the witness
+    # branch prunes to its own bare distinct-key subtree (measured cheaper
+    # than forcing identity — docstring).  ReusedExchange is plan-pinned.
     kd = ev.groupBy("key").agg(F.min("d").alias("d"))
     kh = kd.select(
         "d",
@@ -734,5 +739,178 @@ def b85_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("sk_m") == F.col("sk_g")),
                 1,
             ).otherwise(0).cast("bigint").alias("merge_lossless"),
+        )
+    )
+
+
+@query(
+    "b86_kmv_incremental_refresh",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id || '|' || event_type AS key,
+             max(CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END) AS in_base,
+             max(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS in_delta
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    kh AS (
+      SELECT CAST(('0x' || substr(sha256(key), 1, 12)) AS BIGINT) AS hv,
+             key, in_base, in_delta
+      FROM ev
+    ),
+    bs AS (SELECT hv, key FROM kh WHERE in_base = 1
+           ORDER BY hv, key LIMIT {_KMV_K}),
+    dsm AS (SELECT hv, key FROM kh WHERE in_delta = 1
+            ORDER BY hv, key LIMIT {_KMV_K}),
+    ms AS (SELECT hv, key FROM (
+             SELECT DISTINCT hv, key FROM
+               (SELECT * FROM bs UNION ALL SELECT * FROM dsm))
+           ORDER BY hv, key LIMIT {_KMV_K}),
+    fs AS (SELECT hv, key FROM kh ORDER BY hv, key LIMIT {_KMV_K}),
+    m AS (SELECT count(*) AS ck, CAST(coalesce(max(hv), 0) AS BIGINT) AS kth,
+                 CAST(coalesce(sum(hv), 0) AS BIGINT) AS sk FROM ms),
+    f AS (SELECT count(*) AS ck, CAST(coalesce(max(hv), 0) AS BIGINT) AS kth,
+                 CAST(coalesce(sum(hv), 0) AS BIGINT) AS sk FROM fs),
+    ex AS (SELECT count(*) AS exact_d, sum(in_base) AS base_keys,
+                  sum(in_delta) AS delta_keys FROM kh),
+    est AS (SELECT CASE WHEN m.ck >= {_KMV_K}
+                        THEN ({_KMV_K - 1} * {_KMV_M}) // m.kth
+                        ELSE m.ck END AS kmv_est FROM m)
+    SELECT CAST(ex.exact_d AS BIGINT) AS exact_distinct,
+           CAST(ex.base_keys AS BIGINT) AS base_keys,
+           CAST(ex.delta_keys AS BIGINT) AS delta_keys,
+           CAST(m.ck AS BIGINT) AS summary_k,
+           CAST(m.kth AS BIGINT) AS kth_refreshed,
+           CAST(est.kmv_est AS BIGINT) AS kmv_est,
+           CAST(abs(est.kmv_est - ex.exact_d) * 10000 // ex.exact_d
+                AS BIGINT) AS err_bp,
+           CAST(CASE WHEN m.ck = f.ck AND m.kth = f.kth AND m.sk = f.sk
+                     THEN 1 ELSE 0 END AS BIGINT) AS refresh_lossless
+    FROM ex, m, f, est
+    """,
+    tags=("B12", "sketch"),
+    doc="INCREMENTAL summary maintenance end-to-end (r9 verdict #9): the "
+    "b44_incremental_agg MV-refresh pattern applied to the b85 KMV "
+    "distinct-count summary.  The stored BASE summary (distinct "
+    "user|type activity keys from events with event_id % 4 != 0 — "
+    "yesterday's corpus) is refreshed with a DELTA batch summary "
+    "(event_id % 4 == 0, overlapping key population — the hard case) by "
+    "merging the summaries ALONE: k smallest of the deduplicated union "
+    "of two <= k-row relations, never re-scanning the base corpus.  "
+    "refresh_lossless WITNESSES the KMV mergeable property exactly "
+    "against a from-scratch recompute over the full corpus: every "
+    "global k-minimum lives in base or delta and must be inside that "
+    "side's k-minima (fewer than k pairs precede it globally, so fewer "
+    "precede it within its side), hence inside the refreshed summary.  "
+    "The summary orders by the (hv, key) PAIR — keys are distinct after "
+    "the groupBy, so pairs are distinct by construction and no "
+    "collision-dedup pass is needed anywhere: every probe is a "
+    "TakeOrdered over the one corpus-proportional groupBy(key) exchange "
+    "(ReusedExchange across the base/delta/full/count branches, "
+    "plan-pinned), the merge handles <= 2k rows, and nothing else "
+    "shuffles.  At 100 TB the base summary is a stored k-row relation "
+    "and only the delta is scanned; the full-recompute branch exists "
+    "here solely as the correctness witness.  Estimator and err_bp as "
+    "in b85 (integer grid, deterministic sha256).",
+)
+def b86_kmv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, M = _KMV_K, _KMV_M
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.concat_ws(
+                "|", F.col("user_id").cast("string"), F.col("event_type")
+            ).alias("key"),
+            (F.col("event_id") % 4 != 0).cast("int").alias("b"),
+            (F.col("event_id") % 4 == 0).cast("int").alias("dl"),
+        )
+    )
+    # THE corpus exchange: one row per distinct key with side-membership
+    # flags (a key may be in both sides); every branch derives from it.
+    kd = ev.groupBy("key").agg(
+        F.max("b").alias("in_base"), F.max("dl").alias("in_delta")
+    )
+    kh = kd.select(
+        F.conv(F.substring(F.sha2(F.col("key").cast("binary"), 256), 1, 12),
+               16, 10).cast("bigint").alias("hv"),
+        "key",
+        "in_base",
+        "in_delta",
+    )
+
+    def kmin(rel: DataFrame, ck: str, kth: str, sk: str) -> DataFrame:
+        """k smallest (hv, key) pairs via TakeOrdered; kth pair's hv is the
+        summary max because the pair order sorts on hv first."""
+        return rel.orderBy("hv", "key").limit(K).agg(
+            F.count("*").alias(ck),
+            F.coalesce(F.max("hv"), F.lit(0)).cast("bigint").alias(kth),
+            F.coalesce(F.sum("hv"), F.lit(0)).cast("bigint").alias(sk),
+        )
+
+    # Pruning barriers (measured at the 10x probe): without the vacuously
+    # true conjuncts, column pruning specializes each branch's aggregate
+    # subtree (base drops in_delta, the witness drops both flags, the count
+    # keeps both) into FOUR different corpus exchanges with zero reuse —
+    # 0.46-0.48 s; with the branches pinned to the identical projection the
+    # plan builds ONE exchange with three ReusedExchange consumers —
+    # 0.40-0.41 s (-13%).  The flags are max() over non-null 0/1 ints, so
+    # ">= 0" can never filter a row; the optimizer just cannot prove it.
+    base_s = (
+        kh.where((F.col("in_base") == 1) & (F.col("in_delta") >= 0))
+        .orderBy("hv", "key").limit(K)
+    )
+    delta_s = (
+        kh.where((F.col("in_delta") == 1) & (F.col("in_base") >= 0))
+        .orderBy("hv", "key").limit(K)
+    )
+    full_in = kh.where((F.col("in_base") >= 0) & (F.col("in_delta") >= 0))
+    # the refresh: summaries alone — dedupe the union (a key present in
+    # both sides appears in both summaries), keep the k smallest pairs
+    refreshed = (
+        base_s.select("hv", "key")
+        .unionByName(delta_s.select("hv", "key"))
+        .distinct()
+    )
+    m = kmin(refreshed, "ck_m", "kth_m", "sk_m")
+    fw = kmin(full_in, "ck_f", "kth_f", "sk_f")  # from-scratch witness
+    ex = kh.agg(
+        F.count("*").cast("bigint").alias("exact_d"),
+        F.sum("in_base").cast("bigint").alias("base_keys"),
+        F.sum("in_delta").cast("bigint").alias("delta_keys"),
+    )
+    est = F.when(
+        F.col("ck_m") >= K, F.expr(f"({K - 1} * CAST({M} AS BIGINT)) DIV kth_m")
+    ).otherwise(F.col("ck_m"))
+    return (
+        ex.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(fw))
+        .withColumn("kmv_est", est.cast("bigint"))
+        .select(
+            "exact_d",
+            "base_keys",
+            "delta_keys",
+            F.col("ck_m").cast("bigint").alias("summary_k"),
+            F.col("kth_m").alias("kth_refreshed"),
+            "kmv_est",
+            (F.abs(F.col("kmv_est") - F.col("exact_d")) * 10000)
+            .cast("bigint").alias("_num"),
+            "ck_f", "kth_f", "sk_f", "sk_m",
+        )
+        .select(
+            F.col("exact_d").alias("exact_distinct"),
+            "base_keys",
+            "delta_keys",
+            "summary_k",
+            "kth_refreshed",
+            "kmv_est",
+            F.expr("_num DIV exact_distinct").cast("bigint").alias("err_bp"),
+            F.when(
+                (F.col("summary_k") == F.col("ck_f"))
+                & (F.col("kth_refreshed") == F.col("kth_f"))
+                & (F.col("sk_m") == F.col("sk_f")),
+                1,
+            ).otherwise(0).cast("bigint").alias("refresh_lossless"),
         )
     )

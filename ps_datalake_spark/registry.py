@@ -438,8 +438,8 @@ _DRIVER_GREEN_R09 = frozenset(
 # row exists.
 _RETUNED_IN_R10 = frozenset(
     {
-        # b85's five corpus-sized distinct exchanges folded into ONE
-        # groupBy(key) exchange (the key embeds the hour, so min(d) is
+        # b85's five corpus-sized distinct exchanges folded down to the
+        # groupBy(key) family (the key embeds the hour, so min(d) is
         # exact distinct(d,key) and exact_d a free count; 0.70 -> 0.60 s
         # at 10x) — Spark-side plan changed, oracle unchanged.
         "b85_kmv_distinct_merge",

@@ -468,12 +468,35 @@ def test_kmv_merge_probes_are_take_ordered(spark, sf_dir):
 
 
 def test_kmv_merge_single_corpus_exchange(spark, sf_dir):
-    """b85 r10 retune: every branch derives from ONE groupBy(key) corpus
-    exchange — the executed plan must reuse it (the r9 draft paid five
-    corpus-sized distinct exchanges for the same relations)."""
+    """b85 r10 retune: the day/count branches derive from one groupBy(key)
+    corpus exchange and downstream exchanges are reused (the r9 draft paid
+    five corpus-sized distinct exchanges for the same relations; the
+    witness branch's pruned distinct-key subtree is a measured, documented
+    exception — PLANS.md round-10)."""
     df = SPECS["b85_kmv_distinct_merge"].build(spark, sf_dir)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final, (
-        "derived branches must reuse the groupBy(key) exchange"
+        "derived branches must reuse shared exchanges"
+    )
+
+
+def test_kmv_incremental_refresh_plan(spark, sf_dir):
+    """b86: the base/delta/full/count branches must all consume ONE
+    groupBy(key) corpus exchange (the vacuous-conjunct pruning barriers
+    keep their subtrees identical — without them column pruning builds
+    four divergent corpus exchanges, measured 13% slower at 10x), every
+    summary probe must be TakeOrdered, and nothing may fall to a
+    cartesian or a Python eval."""
+    df = SPECS["b86_kmv_incremental_refresh"].build(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 3, (
+        "base/delta/full k-minima probes must be TakeOrdered"
+    )
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 3, (
+        "all four branches must reuse the one groupBy(key) exchange"
     )
