@@ -914,3 +914,227 @@ def b86_kmv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0).cast("bigint").alias("refresh_lossless"),
         )
     )
+
+
+@query(
+    "b87_kmv_set_ops",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id || '|' || event_type AS key,
+             max(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS in_b
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ),
+    kh AS (
+      SELECT CAST(('0x' || substr(sha256(key), 1, 12)) AS BIGINT) AS hv,
+             key, in_a, in_b
+      FROM ev
+    ),
+    sa AS (SELECT hv, key, in_b FROM kh WHERE in_a = 1
+           ORDER BY hv, key LIMIT {_KMV_K}),
+    sb AS (SELECT hv, key, in_a FROM kh WHERE in_b = 1
+           ORDER BY hv, key LIMIT {_KMV_K}),
+    ma AS (SELECT count(*) AS ck_a,
+                  CAST(coalesce(max(hv), 0) AS BIGINT) AS kth_a FROM sa),
+    mb AS (SELECT count(*) AS ck_b,
+                  CAST(coalesce(max(hv), 0) AS BIGINT) AS kth_b FROM sb),
+    th AS (SELECT least(ma.kth_a, mb.kth_b) AS theta,
+                  ma.ck_a, mb.ck_b FROM ma, mb),
+    samp AS (
+      SELECT count(*) AS n_sample FROM (
+        SELECT DISTINCT hv, key FROM
+          (SELECT hv, key FROM sa UNION ALL SELECT hv, key FROM sb)
+      ) u, th WHERE u.hv < th.theta
+    ),
+    com AS (SELECT count(*) AS common FROM sa, th
+            WHERE sa.in_b = 1 AND sa.hv < th.theta),
+    ex AS (SELECT count(*) AS union_exact,
+                  sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                    AS inter_exact,
+                  sum(in_a) AS a_keys, sum(in_b) AS b_keys
+           FROM kh),
+    wit AS (SELECT count(*) AS below FROM kh, th WHERE kh.hv < th.theta),
+    est AS (
+      SELECT CASE WHEN th.ck_a >= {_KMV_K} OR th.ck_b >= {_KMV_K}
+                  THEN com.common * {_KMV_M} // th.theta
+                  ELSE ex.inter_exact END AS est_inter,
+             CASE WHEN th.ck_a >= {_KMV_K} OR th.ck_b >= {_KMV_K}
+                  THEN samp.n_sample * {_KMV_M} // th.theta
+                  ELSE ex.union_exact END AS est_union,
+             CASE WHEN th.ck_a >= {_KMV_K} OR th.ck_b >= {_KMV_K}
+                  THEN com.common * 1000000 // greatest(samp.n_sample, 1)
+                  ELSE ex.inter_exact * 1000000 // greatest(ex.union_exact, 1)
+                  END AS jacc_est_e6
+      FROM th, com, samp, ex
+    )
+    SELECT CAST(ex.a_keys AS BIGINT) AS a_keys,
+           CAST(ex.b_keys AS BIGINT) AS b_keys,
+           CAST(ex.inter_exact AS BIGINT) AS inter_exact,
+           CAST(ex.union_exact AS BIGINT) AS union_exact,
+           CAST(samp.n_sample AS BIGINT) AS n_sample,
+           CAST(com.common AS BIGINT) AS inter_common,
+           CAST(est.est_inter AS BIGINT) AS est_inter,
+           CAST(est.est_union AS BIGINT) AS est_union,
+           CAST(est.jacc_est_e6 AS BIGINT) AS jacc_est_e6,
+           CAST(ex.inter_exact * 1000000 // greatest(ex.union_exact, 1)
+                AS BIGINT) AS jacc_exact_e6,
+           CAST(abs(est.est_inter - ex.inter_exact) * 10000
+                // greatest(ex.inter_exact, 1) AS BIGINT) AS err_inter_bp,
+           CAST(abs(est.est_union - ex.union_exact) * 10000
+                // greatest(ex.union_exact, 1) AS BIGINT) AS err_union_bp,
+           CAST(CASE WHEN wit.below = samp.n_sample THEN 1 ELSE 0 END
+                AS BIGINT) AS sample_complete
+    FROM ex, samp, com, est, wit
+    """,
+    tags=("B12", "sketch"),
+    doc="MERGEABLE set-operation estimates from KMV summaries alone — the "
+    "theta-sketch algebra (Beyer et al. 2007, 'On synopses for distinct-"
+    "value estimation'), closing the mergeable-summary family: quantiles "
+    "b83, frequencies b84, distinct counts b85, incremental refresh b86, "
+    "set operations b87.  Two overlapping key populations (distinct "
+    "user|type activity keys seen with odd vs even event_ids) each keep "
+    "their k smallest (hv, key) pairs; theta = the smaller of the two "
+    "kth hashes, and every estimate derives from the summaries ONLY: "
+    "the sample is the distinct pairs below theta across both summaries, "
+    "the intersection sample is the A-summary pairs below theta flagged "
+    "in_b (no join — the side flags ride the summary rows), and the "
+    "integer estimators scale by M DIV theta (falling back to the exact "
+    "counts when BOTH summaries are complete, i.e. sides smaller than "
+    "k).  sample_complete WITNESSES the capture theorem exactly against "
+    "the full corpus: any pair with hv < theta <= its side's kth hash "
+    "precedes that side's kth pair, so it must sit inside that side's "
+    "summary — the corpus count of hv < theta keys equals the summary-"
+    "derived sample size by mathematics, not luck.  Scale shape: b86's "
+    "scaffold — ONE groupBy(key) corpus exchange with all five branches "
+    "(A/B summaries, exact counts, capture witness) pinned to the "
+    "identical projection by vacuous-conjunct pruning barriers "
+    "(ReusedExchange plan-pinned), every summary probe TakeOrdered, all "
+    "estimator algebra on broadcast 1-row relations.",
+)
+def b87_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, M = _KMV_K, _KMV_M
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.concat_ws(
+                "|", F.col("user_id").cast("string"), F.col("event_type")
+            ).alias("key"),
+            (F.col("event_id") % 2 == 1).cast("int").alias("a"),
+            (F.col("event_id") % 2 == 0).cast("int").alias("bb"),
+        )
+    )
+    kd = ev.groupBy("key").agg(
+        F.max("a").alias("in_a"), F.max("bb").alias("in_b")
+    )
+    kh = kd.select(
+        F.conv(F.substring(F.sha2(F.col("key").cast("binary"), 256), 1, 12),
+               16, 10).cast("bigint").alias("hv"),
+        "key",
+        "in_a",
+        "in_b",
+    )
+    # Pruning barriers, as in b86: vacuously true conjuncts keep all five
+    # branches on the identical projection so ONE corpus exchange serves
+    # them all (the flags are max() over non-null 0/1 ints, never filtered
+    # by ">= 0"; the optimizer just cannot prove it).
+    sa = (
+        kh.where((F.col("in_a") == 1) & (F.col("in_b") >= 0))
+        .orderBy("hv", "key").limit(K)
+    )
+    sb = (
+        kh.where((F.col("in_b") == 1) & (F.col("in_a") >= 0))
+        .orderBy("hv", "key").limit(K)
+    )
+    ma = sa.agg(
+        F.count("*").alias("ck_a"),
+        F.coalesce(F.max("hv"), F.lit(0)).cast("bigint").alias("kth_a"),
+    )
+    mb = sb.agg(
+        F.count("*").alias("ck_b"),
+        F.coalesce(F.max("hv"), F.lit(0)).cast("bigint").alias("kth_b"),
+    )
+    th = ma.crossJoin(F.broadcast(mb)).select(
+        F.least("kth_a", "kth_b").alias("theta"), "ck_a", "ck_b"
+    )
+    samp = (
+        sa.select("hv", "key")
+        .unionByName(sb.select("hv", "key"))
+        .distinct()
+        .crossJoin(F.broadcast(th.select("theta")))
+        .where(F.col("hv") < F.col("theta"))
+        .agg(F.count("*").cast("bigint").alias("n_sample"))
+    )
+    com = (
+        sa.crossJoin(F.broadcast(th.select(F.col("theta").alias("th2"))))
+        .where((F.col("in_b") == 1) & (F.col("hv") < F.col("th2")))
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    ex = kh.agg(
+        F.count("*").cast("bigint").alias("union_exact"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("inter_exact"),
+        F.sum("in_a").cast("bigint").alias("a_keys"),
+        F.sum("in_b").cast("bigint").alias("b_keys"),
+    )
+    wit = (
+        kh.where((F.col("in_a") >= 0) & (F.col("in_b") >= 0))
+        .crossJoin(F.broadcast(th.select(F.col("theta").alias("th3"))))
+        .where(F.col("hv") < F.col("th3"))
+        .agg(F.count("*").cast("bigint").alias("below"))
+    )
+    sketchy = (F.col("ck_a") >= K) | (F.col("ck_b") >= K)
+    return (
+        ex.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(samp))
+        .crossJoin(F.broadcast(com))
+        .crossJoin(F.broadcast(wit))
+        .select(
+            "a_keys",
+            "b_keys",
+            "inter_exact",
+            "union_exact",
+            "n_sample",
+            F.col("common").alias("inter_common"),
+            F.when(
+                sketchy, F.expr(f"common * CAST({M} AS BIGINT) DIV theta")
+            ).otherwise(F.col("inter_exact")).cast("bigint").alias("est_inter"),
+            F.when(
+                sketchy, F.expr(f"n_sample * CAST({M} AS BIGINT) DIV theta")
+            ).otherwise(F.col("union_exact")).cast("bigint").alias("est_union"),
+            F.when(
+                sketchy,
+                F.expr("common * 1000000 DIV greatest(n_sample, 1)"),
+            ).otherwise(
+                F.expr("inter_exact * 1000000 DIV greatest(union_exact, 1)")
+            ).cast("bigint").alias("jacc_est_e6"),
+            F.expr("inter_exact * 1000000 DIV greatest(union_exact, 1)")
+            .cast("bigint").alias("jacc_exact_e6"),
+            "below",
+        )
+        .select(
+            "a_keys",
+            "b_keys",
+            "inter_exact",
+            "union_exact",
+            "n_sample",
+            "inter_common",
+            "est_inter",
+            "est_union",
+            "jacc_est_e6",
+            "jacc_exact_e6",
+            F.expr(
+                "abs(est_inter - inter_exact) * 10000"
+                " DIV greatest(inter_exact, 1)"
+            ).cast("bigint").alias("err_inter_bp"),
+            F.expr(
+                "abs(est_union - union_exact) * 10000"
+                " DIV greatest(union_exact, 1)"
+            ).cast("bigint").alias("err_union_bp"),
+            F.when(F.col("below") == F.col("n_sample"), 1)
+            .otherwise(0).cast("bigint").alias("sample_complete"),
+        )
+    )

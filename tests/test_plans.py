@@ -500,3 +500,22 @@ def test_kmv_incremental_refresh_plan(spark, sf_dir):
     assert final.count("ReusedExchange") >= 3, (
         "all four branches must reuse the one groupBy(key) exchange"
     )
+
+
+def test_kmv_set_ops_plan(spark, sf_dir):
+    """b87: same scaffold discipline as b86 — one groupBy(key) corpus
+    exchange reused by all five branches (pruning barriers), TakeOrdered
+    summary probes, no cartesian, no Python eval, all estimator algebra
+    broadcast-side."""
+    df = SPECS["b87_kmv_set_ops"].build(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2, (
+        "A/B summary probes must be TakeOrdered"
+    )
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 4, (
+        "the five branches must reuse the one groupBy(key) exchange"
+    )
