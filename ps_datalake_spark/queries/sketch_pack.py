@@ -1138,3 +1138,166 @@ def b87_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0).cast("bigint").alias("sample_complete"),
         )
     )
+
+
+_PS_K = 256                 # priority-sample size
+_PS_M32 = 1 << 32           # 32-bit uniform grid: w * M32 stays under 2^63
+
+
+@query(
+    "b88_priority_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT)
+               * (CASE WHEN doc_id % 97 = 0 THEN 1000 ELSE 1 END) AS w
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    q AS (
+      SELECT doc_id, w,
+             (w * {_PS_M32}) // (CAST(('0x' ||
+                substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                + 1) AS pri
+      FROM d
+    ),
+    topk1 AS (SELECT doc_id, w, pri FROM q
+              ORDER BY pri DESC, doc_id LIMIT {_PS_K + 1}),
+    tk AS (SELECT count(*) AS ck1, CAST(coalesce(min(pri), 0) AS BIGINT)
+                  AS min1 FROM topk1),
+    tau AS (SELECT CASE WHEN ck1 = {_PS_K + 1} THEN min1 ELSE 0 END
+                   AS tau FROM tk),
+    samp AS (SELECT doc_id, w, pri FROM q
+             ORDER BY pri DESC, doc_id LIMIT {_PS_K}),
+    est AS (SELECT CAST(sum(greatest(w, tau.tau)) AS BIGINT) AS est_total,
+                   count(*) AS n_sample,
+                   CAST(sum(CASE WHEN w > tau.tau THEN 1 ELSE 0 END)
+                        AS BIGINT) AS heavy_in_sample
+            FROM samp, tau GROUP BY tau.tau),
+    ex AS (SELECT count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_w
+           FROM d),
+    hv AS (SELECT CAST(count(*) AS BIGINT) AS heavy_count FROM q, tau
+           WHERE q.w > tau.tau)
+    SELECT CAST(ex.n_docs AS BIGINT) AS n_docs,
+           CAST(ex.total_w AS BIGINT) AS total_w,
+           CAST(est.n_sample AS BIGINT) AS n_sample,
+           CAST(tau.tau AS BIGINT) AS tau,
+           CAST(est.est_total AS BIGINT) AS est_total,
+           CAST(abs(est.est_total - ex.total_w) * 10000 // ex.total_w
+                AS BIGINT) AS err_bp,
+           CAST(hv.heavy_count AS BIGINT) AS heavy_count,
+           CAST(hv.heavy_count - est.heavy_in_sample AS BIGINT)
+                AS heavy_missed
+    FROM ex, est, tau, hv
+    """,
+    tags=("B12", "llm", "sketch"),
+    doc="Weighted corpus subsampling with unbiased subset-sum estimation — "
+    "priority sampling (Duffield, Lund & Thorup 2007, 'Priority sampling "
+    "for estimation of arbitrary subset sums'), the sampling operator a "
+    "training-data pipeline uses to cut a weighted corpus to k documents "
+    "while keeping totals estimable: each document draws the "
+    "deterministic 32-bit uniform (hv+1)/M from the portable sha256 of "
+    "its id and gets priority w*M DIV (hv+1) (weights are n_chars with "
+    "a planted 1000x tail on every 97th doc so the coverage witness "
+    "exercises non-trivially); the sample is the top-k "
+    "priorities, tau is the (k+1)-th, and the subset-sum estimator "
+    "sum(max(w, tau)) over the sample targets the exact corpus total "
+    "(err_bp reports the realized error; the integer grid makes both "
+    "engines bit-identical, so the oracle is value-exact).  "
+    "heavy_missed WITNESSES the scheme's coverage theorem exactly: "
+    "priority >= weight (M DIV (hv+1) >= 1), so any document with "
+    "w > tau has priority > tau and at most k priorities exceed the "
+    "(k+1)-th — every heavy document is in the sample by mathematics, "
+    "the property that makes priority sampling safe for long-tailed "
+    "corpus weights.  Scale shape: the (k+1) probe is ONE TakeOrdered "
+    "over the document relation (weights + hash are row-local; "
+    "per-partition top-k + bounded driver merge, never a global sort) "
+    "and the k-sample re-sorts those <= k+1 rows instead of re-probing "
+    "the corpus; tau and the estimator algebra live on broadcast 1-row "
+    "relations; the exact total and the heavy-count witness are two "
+    "map-side-combined aggregate passes; no corpus shuffle exists "
+    "anywhere in the plan.",
+)
+def b88_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, M32 = _PS_K, _PS_M32
+    # weight = n_chars, multiplied 1000x for every 97th doc: a long-tailed
+    # weight distribution (the realistic corpus case) that makes the
+    # heavy-coverage witness NON-trivial — without the tail no document
+    # outweighs tau and heavy_count pins 0 = 0 vacuously
+    d = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+        .select(
+            "doc_id",
+            (
+                F.col("n_chars").cast("bigint")
+                * F.when(F.col("doc_id") % 97 == 0, 1000).otherwise(1)
+            ).alias("w"),
+        )
+    )
+    q = d.select(
+        "doc_id",
+        "w",
+        F.expr(
+            f"(w * {M32}) DIV (CAST(conv(substring("
+            f"sha2(CAST(CAST(doc_id AS STRING) AS BINARY), 256), 1, 8),"
+            f" 16, 10) AS BIGINT) + 1)"
+        ).alias("pri"),
+    )
+    topk1 = q.orderBy(F.col("pri").desc(), "doc_id").limit(K + 1)
+    # the k-sample is the (k+1) probe minus its last row — re-sorting the
+    # materialized <= k+1 rows costs nothing and saves a second corpus probe
+    samp = topk1.orderBy(F.col("pri").desc(), "doc_id").limit(K)
+    tau = topk1.agg(
+        F.count("*").alias("ck1"),
+        F.coalesce(F.min("pri"), F.lit(0)).cast("bigint").alias("min1"),
+    ).select(
+        F.when(F.col("ck1") == K + 1, F.col("min1"))
+        .otherwise(0).cast("bigint").alias("tau")
+    )
+    est = (
+        samp.crossJoin(F.broadcast(tau))
+        .groupBy("tau")
+        .agg(
+            F.sum(F.greatest(F.col("w"), F.col("tau")))
+            .cast("bigint").alias("est_total"),
+            F.count("*").cast("bigint").alias("n_sample"),
+            F.sum(F.when(F.col("w") > F.col("tau"), 1).otherwise(0))
+            .cast("bigint").alias("heavy_in_sample"),
+        )
+    )
+    ex = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("total_w"),
+    )
+    heavy = (
+        q.crossJoin(F.broadcast(tau.select(F.col("tau").alias("t2"))))
+        .where(F.col("w") > F.col("t2"))
+        .agg(F.count("*").cast("bigint").alias("heavy_count"))
+    )
+    return (
+        ex.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(heavy))
+        .select(
+            "n_docs",
+            "total_w",
+            "n_sample",
+            F.col("tau").cast("bigint").alias("tau"),
+            "est_total",
+            (F.abs(F.col("est_total") - F.col("total_w")) * 10000)
+            .cast("bigint").alias("_num"),
+            "heavy_count",
+            (F.col("heavy_count") - F.col("heavy_in_sample"))
+            .cast("bigint").alias("heavy_missed"),
+        )
+        .select(
+            "n_docs",
+            "total_w",
+            "n_sample",
+            "tau",
+            "est_total",
+            F.expr("_num DIV total_w").cast("bigint").alias("err_bp"),
+            "heavy_count",
+            "heavy_missed",
+        )
+    )

@@ -519,3 +519,20 @@ def test_kmv_set_ops_plan(spark, sf_dir):
     assert final.count("ReusedExchange") >= 4, (
         "the five branches must reuse the one groupBy(key) exchange"
     )
+
+
+def test_priority_sample_plan(spark, sf_dir):
+    """b88: the (k+1) probe must be TakeOrdered (never a corpus Sort+Limit),
+    the estimator algebra broadcast-side, and no corpus shuffle may exist —
+    the only exchanges allowed are the single-partition merges of the
+    bounded aggregates."""
+    df = SPECS["b88_priority_sample"].build(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, (
+        "the k+1 probe must be TakeOrdered"
+    )
+    assert "Exchange hashpartitioning" not in plan, (
+        "b88 must not shuffle the corpus — no hash exchange belongs here"
+    )
