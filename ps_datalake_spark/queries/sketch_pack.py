@@ -752,6 +752,7 @@ def b85_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS in_delta
       FROM events
       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND event_id IS NOT NULL
       GROUP BY 1
     ),
     kh AS (
@@ -818,7 +819,17 @@ def b86_kmv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, M = _KMV_K, _KMV_M
     ev = (
         T(spark, sf_dir, "events")
-        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        # event_id IS NOT NULL (r10 advisor): a NULL event_id would make the
+        # side flags NULL, max() over an all-NULL key NULL, and the ">= 0"
+        # pruning barriers below would silently DROP that key from the
+        # full-recompute witness while the oracle's CASE keeps it.  Filtered
+        # symmetrically in the oracle, the flags are provably non-null 0/1
+        # and the barrier conjuncts provably row-preserving.
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
         .select(
             F.concat_ws(
                 "|", F.col("user_id").cast("string"), F.col("event_type")
@@ -925,6 +936,7 @@ def b86_kmv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS in_b
       FROM events
       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND event_id IS NOT NULL
       GROUP BY 1
     ),
     kh AS (
@@ -1017,7 +1029,14 @@ def b87_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, M = _KMV_K, _KMV_M
     ev = (
         T(spark, sf_dir, "events")
-        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        # event_id IS NOT NULL, symmetric with the oracle — see b86's note:
+        # NULL event_id would NULL the side flags and the ">= 0" barriers
+        # would drop the key from the witness branches only.
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
         .select(
             F.concat_ws(
                 "|", F.col("user_id").cast("string"), F.col("event_type")
@@ -1142,6 +1161,13 @@ def b87_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PS_K = 256                 # priority-sample size
 _PS_M32 = 1 << 32           # 32-bit uniform grid: w * M32 stays under 2^63
+# Weight cap ENFORCING the under-2^63 comment above (r10 advisor): without
+# it a document with n_chars >= ~2.15M in the planted-heavy branch makes
+# w >= 2^31, and w * M32 silently wraps int64 in non-ANSI Spark while
+# DuckDB raises — a larger fixture would diverge the engines.  Capped,
+# max w = 1e6 * 1000 = 1e9 < 2^31 and w * M32 <= ~4.3e18 < 2^63 on BOTH
+# engines (fixture max n_chars ~577, so values are unchanged today).
+_PS_W_CAP = 1_000_000
 
 
 @query(
@@ -1149,7 +1175,7 @@ _PS_M32 = 1 << 32           # 32-bit uniform grid: w * M32 stays under 2^63
     oracle=f"""
     WITH d AS (
       SELECT doc_id,
-             CAST(n_chars AS BIGINT)
+             least(CAST(n_chars AS BIGINT), {_PS_W_CAP})
                * (CASE WHEN doc_id % 97 = 0 THEN 1000 ELSE 1 END) AS w
       FROM documents
       WHERE n_chars IS NOT NULL AND n_chars > 0
@@ -1220,17 +1246,19 @@ _PS_M32 = 1 << 32           # 32-bit uniform grid: w * M32 stays under 2^63
 )
 def b88_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, M32 = _PS_K, _PS_M32
-    # weight = n_chars, multiplied 1000x for every 97th doc: a long-tailed
-    # weight distribution (the realistic corpus case) that makes the
-    # heavy-coverage witness NON-trivial — without the tail no document
-    # outweighs tau and heavy_count pins 0 = 0 vacuously
+    # weight = n_chars (capped at _PS_W_CAP so w * M32 provably stays under
+    # 2^63 on both engines — see the cap's comment), multiplied 1000x for
+    # every 97th doc: a long-tailed weight distribution (the realistic
+    # corpus case) that makes the heavy-coverage witness NON-trivial —
+    # without the tail no document outweighs tau and heavy_count pins
+    # 0 = 0 vacuously
     d = (
         T(spark, sf_dir, "documents")
         .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
         .select(
             "doc_id",
             (
-                F.col("n_chars").cast("bigint")
+                F.least(F.col("n_chars").cast("bigint"), F.lit(_PS_W_CAP))
                 * F.when(F.col("doc_id") % 97 == 0, 1000).otherwise(1)
             ).alias("w"),
         )

@@ -51,6 +51,11 @@ def test_bench_main_path(spark, sf_dir, capsys, monkeypatch):
     # and agrees with the full payload
     assert compact["compact_tail"] is True
     assert list(compact)[-2:] == ["comparable", "floor"]
+    # host_norm (r10 verdict #4) must ride in the tail, before the two
+    # must-survive blocks (keys present even when the probes are disabled)
+    assert set(compact["host_norm"]) == {
+        "s10_noop", "s1000_noop", "s1000_duck_noop"
+    }
     assert compact["comparable"] == payload["comparable"]
     assert compact["floor"] == payload["floor"]
     # r10 (r9 verdict #4): the compact line must FIT the driver's ~2000B
@@ -59,14 +64,21 @@ def test_bench_main_path(spark, sf_dir, capsys, monkeypatch):
     # are smaller than production's, so project the production size: rebuild
     # the line with one ratio entry per production bench-list member (the
     # ratio sections) and one full summary row per SCALE1000 member, using
-    # worst-case-width values.
+    # worst-case-width values.  Widths are the WIDEST plausible production
+    # values (r10 advisor: the old 12.34/123.456 projection under-sized a
+    # ratio >= 100 or an engine second >= 1000): 999.99 ratios, 9999.999
+    # seconds, full-width host_norm floors.
     proj = dict(compact)
-    proj["scale10_ratio"] = {n: 12.34 for n in bench.SCALE_QUERIES}
-    proj["scale100_ratio"] = {n: 12.34 for n in bench.SCALE100_QUERIES}
-    proj["scale300_ratio"] = {n: 12.34 for n in bench.SCALE300_QUERIES}
+    proj["scale10_ratio"] = {n: 999.99 for n in bench.SCALE_QUERIES}
+    proj["scale100_ratio"] = {n: 999.99 for n in bench.SCALE100_QUERIES}
+    proj["scale300_ratio"] = {n: 999.99 for n in bench.SCALE300_QUERIES}
     proj["scale1000"] = {
-        n: {"engine_sec": 123.456, "duckdb_sec": 123.456, "ratio": 12.34}
+        n: {"engine_sec": 9999.999, "duckdb_sec": 9999.999, "ratio": 999.99}
         for n in bench.SCALE1000_QUERIES
+    }
+    proj["host_norm"] = {
+        "s10_noop": 99.9999, "s1000_noop": 99.9999,
+        "s1000_duck_noop": 99.9999,
     }
     assert len(json.dumps(proj)) <= 1900, (
         "projected production compact line exceeds the driver window"
