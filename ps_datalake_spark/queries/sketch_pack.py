@@ -1329,3 +1329,237 @@ def b88_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heavy_missed",
         )
     )
+
+
+# b89 introspection for tests: the last run's maintained-state bounds
+# (summary-store rows actually exchanged, micro-batch count).  Read-only
+# evidence — the query's behavior never depends on it.
+_B89_LAST: dict = {}
+
+
+@query(
+    "b89_stream_kmv_maintain",
+    oracle=f"""
+    WITH dk AS (
+      SELECT DISTINCT user_id || '|' || event_type || '|' ||
+               CAST(CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS VARCHAR)
+               AS key
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    hd AS (
+      SELECT DISTINCT CAST(('0x' || substr(sha256(key), 1, 12)) AS BIGINT)
+               AS hv
+      FROM dk
+    ),
+    mk AS (
+      SELECT count(*) AS ck, CAST(coalesce(max(hv), 0) AS BIGINT) AS kth,
+             CAST(coalesce(sum(hv), 0) AS BIGINT) AS sk
+      FROM (SELECT hv FROM hd ORDER BY hv LIMIT {_KMV_K})
+    ),
+    ex AS (SELECT count(*) AS exact_d FROM dk),
+    est AS (
+      SELECT CASE WHEN mk.ck >= {_KMV_K}
+                  THEN ({_KMV_K - 1} * {_KMV_M}) // mk.kth
+                  ELSE mk.ck END AS kmv_est
+      FROM mk
+    )
+    -- multi_batch and stream_lossless are RUNTIME witnesses on the Spark
+    -- side (>=2 micro-batches actually ran; the maintained summary's k-min
+    -- statistics equal the full batch recompute).  The oracle pins their
+    -- REQUIRED values: the mergeable-summary theorem guarantees the
+    -- maintained k-minima equal the global k-minima for ANY batch split,
+    -- so a Spark-side 0 in either column is a defect and hash-mismatches.
+    SELECT CAST(mk.ck AS BIGINT) AS summary_k,
+           CAST(mk.kth AS BIGINT) AS kth_stream,
+           CAST(est.kmv_est AS BIGINT) AS kmv_est,
+           CAST(ex.exact_d AS BIGINT) AS exact_distinct,
+           CAST(abs(est.kmv_est - ex.exact_d) * 10000 // ex.exact_d
+                AS BIGINT) AS err_bp,
+           CAST(1 AS BIGINT) AS multi_batch,
+           CAST(1 AS BIGINT) AS stream_lossless
+    FROM mk, ex, est
+    """,
+    tags=("B12", "B33", "sketch", "streaming"),
+    doc="STREAMING sketch maintenance — the b85 KMV distinct summary kept "
+    "up to date as data ARRIVES, fusing the mergeable-summary family "
+    "(b83-b88) with the Structured Streaming surface (B30-B33): a "
+    "readStream over the events corpus staged as four files "
+    "(maxFilesPerTrigger=1, availableNow) runs foreachBatch, and each "
+    "micro-batch appends its OWN bounded KMV summary (the k smallest "
+    "sha256-derived hash values of the batch's distinct user|type|hour "
+    "keys, <= k rows) to a summary store; the maintained global summary "
+    "is the b86-style merge of the per-batch summaries ALONE — prior "
+    "batches are never re-scanned, the replayed state is <= k rows per "
+    "batch.  stream_lossless WITNESSES the mergeable theorem end-to-end: "
+    "any hash among the global k minima has at most k-1 smaller values "
+    "inside its own batch, so it survives its batch summary, and the "
+    "merged k-min statistics (count, kth, sum) equal the full batch "
+    "recompute exactly — which also makes the result deterministic under "
+    "ANY batch split, hence oracle-checkable; multi_batch witnesses that "
+    "the stream really ran >= 2 micro-batches (it runs 4).  Scale shape "
+    "(100 TB): the per-batch work is one map-side-combined distinct + "
+    "TakeOrdered over THAT BATCH only, the cross-batch state is <= "
+    "k*batches summary rows (bigints, never corpus), and the estimator "
+    "algebra runs on 1-row broadcast relations — this is the incremental "
+    "ingestion story: summaries that update as data arrives instead of "
+    "replaying deltas in batch.  The 4-file staging exists only because "
+    "the fixture is one parquet file (same staging pattern as "
+    "event_windows._events_stream); a production deployment points the "
+    "same foreachBatch at a real source.",
+)
+def b89_stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from ._util import scratch_dir
+
+    K, M = _KMV_K, _KMV_M
+
+    # ---- one-time staging: events split into 4 deterministic files --------
+    token = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = scratch_dir(f"kmv_stream_src_{token}")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        ev = T(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        for g in range(4):
+            tmp = stage + f".g{g}.tmp"
+            (
+                ev.where(F.col("event_id") % 4 == g)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(
+                f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+            )
+            os.replace(os.path.join(tmp, part), os.path.join(stage, f"g{g}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+        open(marker, "w").close()
+
+    run = uuid.uuid4().hex[:12]
+    summ_dir = scratch_dir(f"kmv_stream_summ_{run}")
+    ckpt = scratch_dir(f"kmv_stream_ckpt_{run}")
+
+    def keys_of(df: DataFrame) -> DataFrame:
+        """b85's key derivation, shared by the stream and the witness."""
+        return df.where(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        ).select(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 3600").cast(
+                    "string"
+                ),
+            ).alias("key")
+        )
+
+    def hv_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.conv(
+                F.substring(F.sha2(F.col("key").cast("binary"), 256), 1, 12),
+                16,
+                10,
+            ).cast("bigint").alias("hv")
+        )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        # THE maintenance step: this batch's own KMV summary (<= K rows of
+        # bigint hv) appended to the store — no prior data touched.
+        (
+            hv_of(keys_of(batch_df).distinct())
+            .distinct()
+            .orderBy("hv")
+            .limit(K)
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(summ_dir)
+        )
+
+    schema = spark.read.parquet(os.path.join(stage, "g0.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        src.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # ---- merge the maintained summaries (bounded: <= K * n_batches rows) --
+    summ = spark.read.parquet(summ_dir)
+    merged = summ.select("hv").distinct()
+
+    def kmin_stats(rel: DataFrame, ck: str, kth: str, sk: str) -> DataFrame:
+        return rel.orderBy("hv").limit(K).agg(
+            F.count("*").alias(ck),
+            F.coalesce(F.max("hv"), F.lit(0)).cast("bigint").alias(kth),
+            F.coalesce(F.sum("hv"), F.lit(0)).cast("bigint").alias(sk),
+        )
+
+    mk = kmin_stats(merged, "ck_m", "kth_m", "sk_m")
+    nb = summ.agg(F.countDistinct("batch_id").alias("n_batches"))
+    # witness: the full batch recompute over the events table
+    full_keys = keys_of(T(spark, sf_dir, "events")).distinct()
+    full_hv = hv_of(full_keys).distinct()
+    gk = kmin_stats(full_hv, "ck_g", "kth_g", "sk_g")
+    ex = full_keys.agg(F.count("*").cast("bigint").alias("exact_d"))
+
+    est = F.when(
+        F.col("ck_m") >= K, F.expr(f"({K - 1} * CAST({M} AS BIGINT)) DIV kth_m")
+    ).otherwise(F.col("ck_m"))
+    result = (
+        mk.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(gk))
+        .crossJoin(F.broadcast(ex))
+        .withColumn("kmv_est", est.cast("bigint"))
+        .select(
+            F.col("ck_m").cast("bigint").alias("summary_k"),
+            F.col("kth_m").alias("kth_stream"),
+            "kmv_est",
+            F.col("exact_d").alias("exact_distinct"),
+            (F.abs(F.col("kmv_est") - F.col("exact_d")) * 10000)
+            .cast("bigint").alias("_num"),
+            F.when(F.col("n_batches") >= 2, 1).otherwise(0)
+            .cast("bigint").alias("multi_batch"),
+            F.when(
+                (F.col("ck_m") == F.col("ck_g"))
+                & (F.col("kth_m") == F.col("kth_g"))
+                & (F.col("sk_m") == F.col("sk_g")),
+                1,
+            ).otherwise(0).cast("bigint").alias("stream_lossless"),
+            F.col("n_batches").cast("bigint").alias("_nb"),
+        )
+        .select(
+            "summary_k",
+            "kth_stream",
+            "kmv_est",
+            "exact_distinct",
+            F.expr("_num DIV exact_distinct").cast("bigint").alias("err_bp"),
+            "multi_batch",
+            "stream_lossless",
+            "_nb",
+        )
+    )
+    # Eager 1-row checkpoint so the per-run scratch dirs can be removed
+    # before returning (repeated driver/bench invocations must not leak).
+    out = result.localCheckpoint(eager=True)
+    row = out.first()
+    _B89_LAST.clear()
+    _B89_LAST.update(
+        {"summary_rows": summ.count(), "n_batches": row["_nb"]}
+    )
+    shutil.rmtree(summ_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out.drop("_nb")

@@ -447,21 +447,70 @@ _RETUNED_IN_R10 = frozenset(
 )
 
 
+# The 50 queries with a green (rows+schema+hash) driver row in round 10's
+# CORRECTNESS_r10.json (50/50 green) — newest evidence, rotated to the back
+# for round 11.  Generated from the artifact's keys verbatim.
+_DRIVER_GREEN_R10 = frozenset(
+    {
+        "b10_argmax_quantiles", "b10_regression_agg", "b16_window_frames",
+        "b28_udtf_chunks", "b31_session_window", "b34_exact_dedup",
+        "b37_tfidf_ml", "b37_token_stats", "b39_audio_features",
+        "b39_decode_jpeg", "b39_decode_png", "b44_incremental_agg",
+        "b45_batch_sessionize", "b45_chi_square", "b45_event_transitions",
+        "b45_isotonic", "b45_market_basket", "b45_naive_bayes",
+        "b45_rolling_mau", "b48_skew_report", "b55_tpch_q11",
+        "b55_tpch_q13", "b55_tpch_q15", "b55_tpch_q16", "b55_tpch_q17",
+        "b55_tpch_q2", "b55_tpch_q20", "b55_tpch_q21", "b55_tpch_q7",
+        "b55_tpch_q8", "b55_tpch_q9", "b56_bigram_stats",
+        "b56_epoch_shuffle", "b56_sequence_packing",
+        "b56_temperature_sampling", "b56_unigram_logprob", "b57_ewma",
+        "b57_exact_percentiles", "b57_gap_fill", "b57_resample_ohlc",
+        "b57_sweep_concurrency", "b58_cdc_latest_state",
+        "b58_scd2_dimension", "b59_gopher_quality", "b60_hll_merge",
+        "b68_dedup_within_watermark", "b85_kmv_distinct_merge",
+        "b86_kmv_incremental_refresh", "b87_kmv_set_ops",
+        "b88_priority_sample",
+    }
+)
+
+# Round-11 retunes: queries whose Spark/oracle pair changed this round and
+# therefore need a fresh hash-verified driver row even though a historical
+# row exists.
+_RETUNED_IN_R11 = frozenset(
+    {
+        # r10 advisor items, both sides of each pair changed symmetrically
+        # (values at fixture scale unchanged; the changed pair earns a
+        # fresh row):
+        # b86/b87: event_id IS NOT NULL added to Spark AND oracle so the
+        # side-membership flags are provably non-null and the vacuous-
+        # conjunct pruning barriers provably row-preserving.
+        "b86_kmv_incremental_refresh",
+        "b87_kmv_set_ops",
+        # b88: weight capped at least(n_chars, 1e6) in Spark AND oracle so
+        # w * 2^32 provably stays under 2^63 on both engines.
+        "b88_priority_sample",
+    }
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules on first access so the registry is populated.
     from . import queries as _  # noqa: F401
 
     # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
-    # Round-10 window = rank 0 (new/retuned this round) followed by the
-    # queries whose freshest green evidence is OLDEST — after r9 refreshed
-    # the stale r4/r5-evidence rows, the stalest survivors are the remaining
-    # round-5-evidence queries (rank 4), then round-6 (rank 5) filling the
-    # remaining slots.  Every query is driver-green at least once (r6-r9
-    # verdicts), so the window purely rotates the oldest evidence forward for
-    # re-verification; newest evidence (r9) sits at the back.
+    # Round-11 window = rank 0 (new/retuned this round) followed by the
+    # queries whose freshest green evidence is OLDEST — after r10 refreshed
+    # the stale r5/r6-evidence rows, the stalest survivors are the
+    # round-7-evidence queries (rank 6: the b01/b03/b04 scans, b28/b29 UDF
+    # rows, b30/b32/b33 streaming rows, b38 lake ops), then round-8 filling
+    # the remaining slots.  Every query is driver-green at least once
+    # (r6-r10 verdicts), so the window purely rotates the oldest evidence
+    # forward for re-verification; newest evidence (r10) sits at the back.
     def rank(name: str) -> int:
-        if name in _RETUNED_IN_R10:
+        if name in _RETUNED_IN_R11:
             return 0
+        if name in _DRIVER_GREEN_R10:
+            return 9
         if name in _DRIVER_GREEN_R09:
             return 8
         if name in _DRIVER_GREEN_R08:

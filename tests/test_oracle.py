@@ -50,43 +50,32 @@ def test_no_complex_result_columns(spark, sf_dir):
 
 
 def test_driver_window_covers_unchecked_queries():
-    """Round-10 window invariant: the driver's 50-slot CORRECTNESS window must
-    hold (in priority order) anything new/retuned this round, then the OLDEST
-    surviving evidence — after r9 refreshed the stale r4/r5-evidence rows, the
-    stalest survivors are the remaining round-5-evidence queries, then round-6
-    filling the remaining slots; everything r7/r8/r9-verified rotates to the
-    back."""
-    from ps_datalake_spark.registry import (
-        _DRIVER_GREEN_R01,
-        _DRIVER_GREEN_R02,
-        _DRIVER_GREEN_R03,
-        _DRIVER_GREEN_R04,
-        _DRIVER_GREEN_R05,
-        _DRIVER_GREEN_R06,
-        _DRIVER_GREEN_R07,
-        _DRIVER_GREEN_R08,
-        _DRIVER_GREEN_R09,
-        _RETUNED_IN_R10,
-    )
+    """Round-11 window invariant: the driver's 50-slot CORRECTNESS window
+    must hold (in priority order) anything new/retuned this round, then the
+    queries whose freshest green driver evidence is OLDEST (after r10
+    refreshed the r5/r6-evidence rows, the stalest survivors are the
+    r7-last-green rows); freshest evidence rotates to the back.
+
+    Stated as one invariant instead of per-round set algebra: no query
+    OUTSIDE the window may have staler evidence than any non-rank-0 query
+    INSIDE it."""
+    import ps_datalake_spark.registry as reg
 
     names = list(SPECS)
     window = set(names[:50])
-    ever_green = (
-        _DRIVER_GREEN_R01
-        | _DRIVER_GREEN_R02
-        | _DRIVER_GREEN_R03
-        | _DRIVER_GREEN_R04
-        | _DRIVER_GREEN_R05
-        | _DRIVER_GREEN_R06
-        | _DRIVER_GREEN_R07
-        | _DRIVER_GREEN_R08
-        | _DRIVER_GREEN_R09
-    )
+    green_rounds = {
+        r: getattr(reg, f"_DRIVER_GREEN_R{r:02d}") for r in range(1, 11)
+    }
+    ever_green = frozenset().union(*green_rounds.values())
+
+    def last_green(n: str) -> int:
+        return max((r for r, s in green_rounds.items() if n in s), default=0)
+
     # rank 0: queries with no green driver row (never checked, or retuned
     # this round).  Once MORE than 50 rank-0 queries exist, overflow is
     # unavoidable — but then every window slot must hold a rank-0 entry:
     # nothing with existing green evidence may displace an unverified query.
-    rank0 = (set(names) - ever_green) | _RETUNED_IN_R10
+    rank0 = (set(names) - ever_green) | reg._RETUNED_IN_R11
     if len(rank0) <= 50:
         assert rank0 <= window, (
             f"never-verified queries outside window: {sorted(rank0 - window)}"
@@ -96,42 +85,17 @@ def test_driver_window_covers_unchecked_queries():
             f"evidence-bearing queries inside an overflowing window: "
             f"{sorted(window - rank0)}"
         )
-    assert not (window & (_DRIVER_GREEN_R09 - _RETUNED_IN_R10)), (
-        "fresh r9 greens must rotate to the back"
+    assert not (window & (green_rounds[10] - reg._RETUNED_IN_R11)), (
+        "fresh r10 greens must rotate to the back"
     )
-    # queries whose newest evidence is round 4 or older (if any remain) fill
-    # the next slots, then round-5 evidence; fresher r6-r9 evidence must
-    # never displace them.
-    newer_than_r4 = (
-        _DRIVER_GREEN_R05
-        | _DRIVER_GREEN_R06
-        | _DRIVER_GREEN_R07
-        | _DRIVER_GREEN_R08
-        | _DRIVER_GREEN_R09
-    )
-    r4_or_older_only = (
-        _DRIVER_GREEN_R04
-        | _DRIVER_GREEN_R03
-        | _DRIVER_GREEN_R02
-        | _DRIVER_GREEN_R01
-    ) - newer_than_r4
-    outside = r4_or_older_only - window
-    if outside:
-        assert len(rank0) + len(r4_or_older_only) > 50, (
-            f"stale r4-or-older evidence outside a non-full window: "
-            f"{sorted(outside)}"
-        )
-    fresher = (
-        _DRIVER_GREEN_R06
-        | _DRIVER_GREEN_R07
-        | _DRIVER_GREEN_R08
-        | _DRIVER_GREEN_R09
-    ) - _RETUNED_IN_R10
-    r5_only = _DRIVER_GREEN_R05 - fresher
-    if len(rank0 | r4_or_older_only | r5_only) >= 50:
-        assert not (window & fresher), (
-            "r6/r7/r8/r9-verified queries occupy slots while stale evidence "
-            "waits"
+    # Oldest-evidence priority, the general form: every non-rank-0 window
+    # occupant must carry evidence no fresher than every query left outside.
+    inside_evidence = [last_green(n) for n in window - rank0]
+    outside_evidence = [last_green(n) for n in set(names) - window]
+    if inside_evidence and outside_evidence:
+        assert max(inside_evidence) <= min(outside_evidence), (
+            "a fresher-evidence query occupies a window slot while staler "
+            "evidence waits outside"
         )
 
 

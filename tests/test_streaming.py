@@ -218,3 +218,24 @@ def test_transform_with_state_running_stats(spark, sf_dir):
         .collect()
     }
     assert final == batch and len(final) > 0
+
+
+def test_b89_stream_kmv_bounded_state(spark, sf_dir):
+    """b89's maintenance contract: the stream really ran multiple
+    micro-batches, the cross-batch state it exchanged is bounded by
+    k * n_batches summary rows (never corpus-proportional), and the
+    maintained summary reproduced the batch recompute exactly."""
+    from ps_datalake_spark.queries import sketch_pack as sp
+    from ps_datalake_spark.registry import all_queries
+
+    row = (
+        all_queries()["b89_stream_kmv_maintain"]
+        .build(spark, sf_dir)
+        .first()
+    )
+    assert row["multi_batch"] == 1
+    assert row["stream_lossless"] == 1
+    assert row["summary_k"] <= sp._KMV_K
+    # introspection recorded by the run: 4 staged files x maxFilesPerTrigger=1
+    assert sp._B89_LAST["n_batches"] == 4
+    assert sp._B89_LAST["summary_rows"] <= 4 * sp._KMV_K
