@@ -1418,7 +1418,13 @@ def b89_stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, M = _KMV_K, _KMV_M
 
     # ---- one-time staging: events split into 4 deterministic files --------
-    token = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # The cache key includes the source file's identity (size + mtime), not
+    # just its path — a regenerated fixture must not silently reuse stale
+    # staged data (the name-keyed-cache bug class bench._scaled_dir_path
+    # documents).
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    ident = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
+    token = hashlib.md5(ident.encode()).hexdigest()[:8]
     stage = scratch_dir(f"kmv_stream_src_{token}")
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):
