@@ -1337,6 +1337,44 @@ def b88_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _B89_LAST: dict = {}
 
 
+def _kmv_keys_of(df: DataFrame) -> DataFrame:
+    """b85's key derivation, shared by b89's stream and witness branches
+    (module-level so tests can plan-pin the per-batch summary shape)."""
+    return df.where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 3600").cast(
+                "string"
+            ),
+        ).alias("key")
+    )
+
+
+def _kmv_hv_of(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.conv(
+            F.substring(F.sha2(F.col("key").cast("binary"), 256), 1, 12),
+            16,
+            10,
+        ).cast("bigint").alias("hv")
+    )
+
+
+def _kmv_batch_summary(df: DataFrame, k: int) -> DataFrame:
+    """b89's per-batch maintenance plan: one map-side-combined distinct over
+    THAT BATCH + one TakeOrdered — never a global sort."""
+    return (
+        _kmv_hv_of(_kmv_keys_of(df).distinct())
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
 @query(
     "b89_stream_kmv_maintain",
     oracle=f"""
@@ -1451,38 +1489,12 @@ def b89_stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     summ_dir = scratch_dir(f"kmv_stream_summ_{run}")
     ckpt = scratch_dir(f"kmv_stream_ckpt_{run}")
 
-    def keys_of(df: DataFrame) -> DataFrame:
-        """b85's key derivation, shared by the stream and the witness."""
-        return df.where(
-            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
-        ).select(
-            F.concat_ws(
-                "|",
-                F.col("user_id").cast("string"),
-                F.col("event_type"),
-                F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 3600").cast(
-                    "string"
-                ),
-            ).alias("key")
-        )
-
-    def hv_of(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.conv(
-                F.substring(F.sha2(F.col("key").cast("binary"), 256), 1, 12),
-                16,
-                10,
-            ).cast("bigint").alias("hv")
-        )
-
     def update(batch_df: DataFrame, batch_id: int) -> None:
         # THE maintenance step: this batch's own KMV summary (<= K rows of
-        # bigint hv) appended to the store — no prior data touched.
+        # bigint hv) appended to the store — no prior data touched.  The
+        # plan shape of _kmv_batch_summary is pinned in tests/test_plans.py.
         (
-            hv_of(keys_of(batch_df).distinct())
-            .distinct()
-            .orderBy("hv")
-            .limit(K)
+            _kmv_batch_summary(batch_df, K)
             .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
             .coalesce(1)
             .write.mode("append")
@@ -1517,8 +1529,8 @@ def b89_stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     mk = kmin_stats(merged, "ck_m", "kth_m", "sk_m")
     nb = summ.agg(F.countDistinct("batch_id").alias("n_batches"))
     # witness: the full batch recompute over the events table
-    full_keys = keys_of(T(spark, sf_dir, "events")).distinct()
-    full_hv = hv_of(full_keys).distinct()
+    full_keys = _kmv_keys_of(T(spark, sf_dir, "events")).distinct()
+    full_hv = _kmv_hv_of(full_keys).distinct()
     gk = kmin_stats(full_hv, "ck_g", "kth_g", "sk_g")
     ex = full_keys.agg(F.count("*").cast("bigint").alias("exact_d"))
 

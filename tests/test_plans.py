@@ -536,3 +536,31 @@ def test_priority_sample_plan(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, (
         "b88 must not shuffle the corpus — no hash exchange belongs here"
     )
+
+
+def test_stream_kmv_batch_summary_plan(spark, sf_dir):
+    """b89: the per-micro-batch maintenance plan (_kmv_batch_summary, the
+    exact relation foreachBatch writes) must be one map-side-combined
+    distinct over the batch plus a TakeOrdered — never a global
+    Sort+Limit, no cartesian, no Python eval.  This is the plan that runs
+    once per arriving batch at 100 TB, so its shape is the scale claim."""
+    from ps_datalake_spark.io import load_table
+    from ps_datalake_spark.queries.sketch_pack import (
+        _KMV_K,
+        _kmv_batch_summary,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    df = _kmv_batch_summary(batch, _KMV_K)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, (
+        "the k-minima probe must be TakeOrdered"
+    )
+    assert "rangepartitioning" not in plan.lower(), (
+        "a global range sort of the batch must not exist"
+    )
+    assert "HashAggregate" in plan, (
+        "the batch distinct must be a (map-side combined) hash aggregate"
+    )
