@@ -1581,3 +1581,249 @@ def b89_stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(summ_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out.drop("_nb")
+
+
+# b90 introspection for tests, same contract as _B89_LAST.
+_B90_LAST: dict = {}
+
+
+@query(
+    "b90_stream_priority_maintain",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             least(CAST(n_chars AS BIGINT), {_PS_W_CAP})
+               * (CASE WHEN doc_id % 97 = 0 THEN 1000 ELSE 1 END) AS w
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    q AS (
+      SELECT doc_id, w,
+             (w * {_PS_M32}) // (CAST(('0x' ||
+                substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                + 1) AS pri
+      FROM d
+    ),
+    topk1 AS (SELECT doc_id, w, pri FROM q
+              ORDER BY pri DESC, doc_id LIMIT {_PS_K + 1}),
+    tk AS (SELECT count(*) AS ck1, CAST(coalesce(min(pri), 0) AS BIGINT)
+                  AS min1 FROM topk1),
+    tau AS (SELECT CASE WHEN ck1 = {_PS_K + 1} THEN min1 ELSE 0 END
+                   AS tau FROM tk),
+    samp AS (SELECT doc_id, w, pri FROM q
+             ORDER BY pri DESC, doc_id LIMIT {_PS_K}),
+    est AS (SELECT CAST(sum(greatest(w, tau.tau)) AS BIGINT) AS est_total,
+                   count(*) AS n_sample
+            FROM samp, tau GROUP BY tau.tau),
+    ex AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM d)
+    -- multi_batch / stream_lossless: Spark-side runtime witnesses with
+    -- their REQUIRED values pinned (see b89's oracle note) — the merged
+    -- per-batch top-(k+1) summaries equal the global top-(k+1) for ANY
+    -- batch split by the k-minima theorem on the (pri DESC, doc_id) order.
+    SELECT CAST(est.n_sample AS BIGINT) AS n_sample,
+           CAST(tau.tau AS BIGINT) AS tau,
+           CAST(est.est_total AS BIGINT) AS est_total,
+           CAST(ex.total_w AS BIGINT) AS total_w,
+           CAST(abs(est.est_total - ex.total_w) * 10000 // ex.total_w
+                AS BIGINT) AS err_bp,
+           CAST(1 AS BIGINT) AS multi_batch,
+           CAST(1 AS BIGINT) AS stream_lossless
+    FROM est, tau, ex
+    """,
+    tags=("B12", "B33", "llm", "sketch", "streaming"),
+    doc="STREAMING weighted-sample maintenance — b88's priority sample "
+    "(Duffield-Lund-Thorup 2007) kept up to date as corpus shards ARRIVE, "
+    "the b89 scaffold applied to the sampling family: a readStream over "
+    "the documents corpus staged as four files (maxFilesPerTrigger=1, "
+    "availableNow) runs foreachBatch, each micro-batch appends its OWN "
+    "top-(k+1)-priority summary (<= k+1 rows of (doc_id, w, pri)) to a "
+    "summary store, and the maintained global sample is the top-k of the "
+    "merged per-batch summaries ALONE — prior shards are never re-scanned. "
+    "stream_lossless witnesses the merge theorem on the total "
+    "(pri DESC, doc_id) order end-to-end: any document among the global "
+    "top-(k+1) has at most k rows preceding it inside its own batch, so "
+    "it survives its batch summary, and the merged tau and subset-sum "
+    "estimator equal the full batch recompute exactly — deterministic "
+    "under ANY batch split, hence value-exact against a batch DuckDB "
+    "oracle; multi_batch witnesses >= 2 real micro-batches (4 run).  This "
+    "is the training-data use case: maintain a fixed-size weighted corpus "
+    "sample with an unbiased total estimator while shards stream in, "
+    "per-arrival work one TakeOrdered over the arriving batch, cross-"
+    "batch state <= (k+1)*batches rows.  Weights, cap, and estimator are "
+    "b88's exactly (least(n_chars, cap) with the planted 1000x tail).",
+)
+def b90_stream_priority_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from ._util import scratch_dir
+
+    K, M32 = _PS_K, _PS_M32
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    ident = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
+    token = hashlib.md5(ident.encode()).hexdigest()[:8]
+    stage = scratch_dir(f"pri_stream_src_{token}")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        for g in range(4):
+            tmp = stage + f".g{g}.tmp"
+            (
+                docs.where(F.col("doc_id") % 4 == g)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(
+                f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+            )
+            os.replace(os.path.join(tmp, part), os.path.join(stage, f"g{g}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+        open(marker, "w").close()
+
+    run = uuid.uuid4().hex[:12]
+    summ_dir = scratch_dir(f"pri_stream_summ_{run}")
+    ckpt = scratch_dir(f"pri_stream_ckpt_{run}")
+
+    def pri_of(df: DataFrame) -> DataFrame:
+        """b88's weight/priority derivation (cap + planted tail + sha256
+        uniform), shared by the stream and the witness."""
+        return (
+            df.where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+            .select(
+                "doc_id",
+                (
+                    F.least(F.col("n_chars").cast("bigint"), F.lit(_PS_W_CAP))
+                    * F.when(F.col("doc_id") % 97 == 0, 1000).otherwise(1)
+                ).alias("w"),
+            )
+            .select(
+                "doc_id",
+                "w",
+                F.expr(
+                    f"(w * {M32}) DIV (CAST(conv(substring("
+                    f"sha2(CAST(CAST(doc_id AS STRING) AS BINARY), 256), 1, 8),"
+                    f" 16, 10) AS BIGINT) + 1)"
+                ).alias("pri"),
+            )
+        )
+
+    def batch_summary(df: DataFrame) -> DataFrame:
+        # per-batch maintenance: this batch's top-(k+1) priorities — one
+        # TakeOrdered over the arriving batch, <= k+1 rows out
+        return pri_of(df).orderBy(F.col("pri").desc(), "doc_id").limit(K + 1)
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_summary(batch_df)
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(summ_dir)
+        )
+
+    schema = spark.read.parquet(os.path.join(stage, "g0.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        src.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # maintained sample from the summaries alone (<= (k+1)*batches rows)
+    summ = spark.read.parquet(summ_dir)
+    m_top1 = summ.orderBy(F.col("pri").desc(), "doc_id").limit(K + 1)
+    m_samp = m_top1.orderBy(F.col("pri").desc(), "doc_id").limit(K)
+    m_tau = m_top1.agg(
+        F.count("*").alias("ck1"),
+        F.coalesce(F.min("pri"), F.lit(0)).cast("bigint").alias("min1"),
+    ).select(
+        F.when(F.col("ck1") == K + 1, F.col("min1"))
+        .otherwise(0).cast("bigint").alias("tau")
+    )
+    m_est = (
+        m_samp.crossJoin(F.broadcast(m_tau))
+        .groupBy("tau")
+        .agg(
+            F.sum(F.greatest(F.col("w"), F.col("tau")))
+            .cast("bigint").alias("est_total"),
+            F.count("*").cast("bigint").alias("n_sample"),
+        )
+    )
+    nb = summ.agg(F.countDistinct("batch_id").alias("n_batches"))
+    # witness: the full batch recompute over documents
+    full = pri_of(T(spark, sf_dir, "documents"))
+    g_top1 = full.orderBy(F.col("pri").desc(), "doc_id").limit(K + 1)
+    g_tau = g_top1.agg(
+        F.count("*").alias("ck1g"),
+        F.coalesce(F.min("pri"), F.lit(0)).cast("bigint").alias("min1g"),
+    ).select(
+        F.when(F.col("ck1g") == K + 1, F.col("min1g"))
+        .otherwise(0).cast("bigint").alias("tau_g")
+    )
+    g_sum = g_top1.agg(
+        F.count("*").cast("bigint").alias("ck_g"),
+        F.coalesce(F.sum("pri"), F.lit(0)).cast("bigint").alias("spri_g"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("sw_g"),
+    )
+    m_sum = m_top1.agg(
+        F.count("*").cast("bigint").alias("ck_m"),
+        F.coalesce(F.sum("pri"), F.lit(0)).cast("bigint").alias("spri_m"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("sw_m"),
+    )
+    ex = full.agg(F.sum("w").cast("bigint").alias("total_w"))
+
+    result = (
+        m_est.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(g_tau))
+        .crossJoin(F.broadcast(g_sum))
+        .crossJoin(F.broadcast(m_sum))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "n_sample",
+            F.col("tau").cast("bigint").alias("tau"),
+            "est_total",
+            "total_w",
+            (F.abs(F.col("est_total") - F.col("total_w")) * 10000)
+            .cast("bigint").alias("_num"),
+            F.when(F.col("n_batches") >= 2, 1).otherwise(0)
+            .cast("bigint").alias("multi_batch"),
+            F.when(
+                (F.col("tau") == F.col("tau_g"))
+                & (F.col("ck_m") == F.col("ck_g"))
+                & (F.col("spri_m") == F.col("spri_g"))
+                & (F.col("sw_m") == F.col("sw_g")),
+                1,
+            ).otherwise(0).cast("bigint").alias("stream_lossless"),
+            F.col("n_batches").cast("bigint").alias("_nb"),
+        )
+        .select(
+            "n_sample",
+            "tau",
+            "est_total",
+            "total_w",
+            F.expr("_num DIV total_w").cast("bigint").alias("err_bp"),
+            "multi_batch",
+            "stream_lossless",
+            "_nb",
+        )
+    )
+    out = result.localCheckpoint(eager=True)
+    row = out.first()
+    _B90_LAST.clear()
+    _B90_LAST.update(
+        {"summary_rows": summ.count(), "n_batches": row["_nb"]}
+    )
+    shutil.rmtree(summ_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out.drop("_nb")

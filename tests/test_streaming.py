@@ -239,3 +239,22 @@ def test_b89_stream_kmv_bounded_state(spark, sf_dir):
     # introspection recorded by the run: 4 staged files x maxFilesPerTrigger=1
     assert sp._B89_LAST["n_batches"] == 4
     assert sp._B89_LAST["summary_rows"] <= 4 * sp._KMV_K
+
+
+def test_b90_stream_priority_bounded_state(spark, sf_dir):
+    """b90's maintenance contract, mirroring b89's: multiple real
+    micro-batches, cross-batch state bounded by (k+1) * n_batches summary
+    rows, and the maintained sample reproduced the batch recompute."""
+    from ps_datalake_spark.queries import sketch_pack as sp
+    from ps_datalake_spark.registry import all_queries
+
+    row = (
+        all_queries()["b90_stream_priority_maintain"]
+        .build(spark, sf_dir)
+        .first()
+    )
+    assert row["multi_batch"] == 1
+    assert row["stream_lossless"] == 1
+    assert row["n_sample"] <= sp._PS_K
+    assert sp._B90_LAST["n_batches"] == 4
+    assert sp._B90_LAST["summary_rows"] <= 4 * (sp._PS_K + 1)
