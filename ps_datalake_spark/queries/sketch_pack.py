@@ -1337,6 +1337,76 @@ def b88_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _B89_LAST: dict = {}
 
 
+def _stage_stream_files(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    cols: tuple[str, ...],
+    key_col: str,
+    prefix: str,
+    n_groups: int = 4,
+) -> str:
+    """Stage one fixture table as ``n_groups`` deterministic parquet files
+    for a readStream (maxFilesPerTrigger=1) — shared by the streaming
+    maintenance queries (b89/b90/b91).
+
+    Grouping uses ``pmod`` so a negative key still lands in a group, and the
+    staged group counts are ASSERTED to sum to the source row count at
+    staging time: a NULL-key row (pmod → NULL, matches no group) fails
+    loudly here instead of silently falling out of the stream while the
+    full-recompute witness and the DuckDB oracle still count it (r11
+    advisor items 1-2 — the same NULL-population bug class b86/b87 fixed).
+
+    The stage is cache-keyed by source-file identity (size+mtime), so a
+    regenerated fixture re-stages; stale same-prefix siblings left by older
+    fixtures are swept so /tmp does not accumulate one copy per
+    regeneration (advisor item 3).  Staging exists only because the fixture
+    is one parquet file — a production deployment points the same
+    foreachBatch at a real source.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from ._util import scratch_dir
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    ident = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
+    token = hashlib.md5(ident.encode()).hexdigest()[:8]
+    stage = scratch_dir(f"{prefix}_{token}")
+    parent, base = os.path.dirname(stage), os.path.basename(stage)
+    for sib in os.listdir(parent):
+        if sib.startswith(f"{prefix}_") and sib != base:
+            shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
+    marker = os.path.join(stage, "_STAGED")
+    if os.path.exists(marker):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    src = T(spark, sf_dir, table).select(*cols)
+    total = src.count()
+    staged = 0
+    for g in range(n_groups):
+        tmp = stage + f".g{g}.tmp"
+        (
+            src.where(F.pmod(F.col(key_col), F.lit(n_groups)) == g)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        staged += spark.read.parquet(tmp).count()
+        part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(stage, f"g{g}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    if staged != total:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise ValueError(
+            f"stream staging dropped rows: {table} has {total}, the "
+            f"{n_groups} staged groups hold {staged} (NULL {key_col}?)"
+        )
+    open(marker, "w").close()
+    return stage
+
+
 def _kmv_keys_of(df: DataFrame) -> DataFrame:
     """b85's key derivation, shared by b89's stream and witness branches
     (module-level so tests can plan-pin the per-batch summary shape)."""
@@ -1446,8 +1516,6 @@ def _kmv_batch_summary(df: DataFrame, k: int) -> DataFrame:
     "same foreachBatch at a real source.",
 )
 def b89_stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
     import shutil
     import uuid
 
@@ -1455,39 +1523,31 @@ def b89_stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K, M = _KMV_K, _KMV_M
 
-    # ---- one-time staging: events split into 4 deterministic files --------
-    # The cache key includes the source file's identity (size + mtime), not
-    # just its path — a regenerated fixture must not silently reuse stale
-    # staged data (the name-keyed-cache bug class bench._scaled_dir_path
-    # documents).
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    ident = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
-    token = hashlib.md5(ident.encode()).hexdigest()[:8]
-    stage = scratch_dir(f"kmv_stream_src_{token}")
-    marker = os.path.join(stage, "_STAGED")
-    if not os.path.exists(marker):
-        os.makedirs(stage, exist_ok=True)
-        ev = T(spark, sf_dir, "events").select(
-            "user_id", "event_type", "ts", "event_id"
-        )
-        for g in range(4):
-            tmp = stage + f".g{g}.tmp"
-            (
-                ev.where(F.col("event_id") % 4 == g)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            part = next(
-                f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
-            )
-            os.replace(os.path.join(tmp, part), os.path.join(stage, f"g{g}.parquet"))
-            shutil.rmtree(tmp, ignore_errors=True)
-        open(marker, "w").close()
+    # one-time staging: events split into 4 deterministic files (shared
+    # helper: identity-keyed cache, pmod grouping, staged-counts assertion)
+    stage = _stage_stream_files(
+        spark, sf_dir, "events",
+        ("user_id", "event_type", "ts", "event_id"),
+        "event_id", "kmv_stream_src",
+    )
 
     run = uuid.uuid4().hex[:12]
     summ_dir = scratch_dir(f"kmv_stream_summ_{run}")
     ckpt = scratch_dir(f"kmv_stream_ckpt_{run}")
+    # try/finally: the per-run dirs must not leak when the stream or the
+    # merge raises (r11 advisor item 3)
+    try:
+        return _b89_run(spark, sf_dir, stage, summ_dir, ckpt, K, M)
+    finally:
+        shutil.rmtree(summ_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _b89_run(
+    spark: SparkSession, sf_dir: str, stage: str, summ_dir: str, ckpt: str,
+    K: int, M: int,
+) -> DataFrame:
+    import os
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         # THE maintenance step: this batch's own KMV summary (<= K rows of
@@ -1570,16 +1630,14 @@ def b89_stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_nb",
         )
     )
-    # Eager 1-row checkpoint so the per-run scratch dirs can be removed
-    # before returning (repeated driver/bench invocations must not leak).
+    # Eager 1-row checkpoint so the per-run scratch dirs can be removed by
+    # the caller's finally before the result is consumed.
     out = result.localCheckpoint(eager=True)
     row = out.first()
     _B89_LAST.clear()
     _B89_LAST.update(
         {"summary_rows": summ.count(), "n_batches": row["_nb"]}
     )
-    shutil.rmtree(summ_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
     return out.drop("_nb")
 
 
@@ -1653,41 +1711,36 @@ _B90_LAST: dict = {}
     "b88's exactly (least(n_chars, cap) with the planted 1000x tail).",
 )
 def b90_stream_priority_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
     import shutil
     import uuid
 
     from ._util import scratch_dir
 
-    K, M32 = _PS_K, _PS_M32
-
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    ident = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
-    token = hashlib.md5(ident.encode()).hexdigest()[:8]
-    stage = scratch_dir(f"pri_stream_src_{token}")
-    marker = os.path.join(stage, "_STAGED")
-    if not os.path.exists(marker):
-        os.makedirs(stage, exist_ok=True)
-        docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
-        for g in range(4):
-            tmp = stage + f".g{g}.tmp"
-            (
-                docs.where(F.col("doc_id") % 4 == g)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            part = next(
-                f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
-            )
-            os.replace(os.path.join(tmp, part), os.path.join(stage, f"g{g}.parquet"))
-            shutil.rmtree(tmp, ignore_errors=True)
-        open(marker, "w").close()
+    # one-time staging: documents split into 4 deterministic files (shared
+    # helper: identity-keyed cache, pmod grouping, staged-counts assertion)
+    stage = _stage_stream_files(
+        spark, sf_dir, "documents", ("doc_id", "n_chars"),
+        "doc_id", "pri_stream_src",
+    )
 
     run = uuid.uuid4().hex[:12]
     summ_dir = scratch_dir(f"pri_stream_summ_{run}")
     ckpt = scratch_dir(f"pri_stream_ckpt_{run}")
+    # try/finally: the per-run dirs must not leak when the stream or the
+    # merge raises (r11 advisor item 3)
+    try:
+        return _b90_run(spark, sf_dir, stage, summ_dir, ckpt)
+    finally:
+        shutil.rmtree(summ_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _b90_run(
+    spark: SparkSession, sf_dir: str, stage: str, summ_dir: str, ckpt: str,
+) -> DataFrame:
+    import os
+
+    K, M32 = _PS_K, _PS_M32
 
     def pri_of(df: DataFrame) -> DataFrame:
         """b88's weight/priority derivation (cap + planted tail + sha256
@@ -1824,6 +1877,4 @@ def b90_stream_priority_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     _B90_LAST.update(
         {"summary_rows": summ.count(), "n_batches": row["_nb"]}
     )
-    shutil.rmtree(summ_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
     return out.drop("_nb")

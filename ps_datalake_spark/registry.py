@@ -493,42 +493,92 @@ _RETUNED_IN_R11 = frozenset(
 )
 
 
+# The 50 queries with a green (rows+schema+hash) driver row in round 11's
+# CORRECTNESS_r11.json (50/50 green) — newest evidence, rotated to the back
+# for round 12.  Generated from the artifact's keys verbatim.
+_DRIVER_GREEN_R11 = frozenset(
+    {
+        "b10_mode_listagg", "b27_variant", "b27_xml", "b37_pmi_collocations",
+        "b37_stemming", "b37_wordpiece", "b40_sql_groupby_all",
+        "b40_sql_lateral", "b40_sql_params", "b40_sql_pipe",
+        "b40_sql_recursive", "b40_sql_udf", "b58_integrity_audit",
+        "b58_snapshot_diff", "b60_bitmap_distinct", "b61_bfs_hops",
+        "b61_triangle_count", "b62_schema_evolution", "b63_stream_static_join",
+        "b63_unpivot", "b64_bm25_topk", "b64_negative_sampling",
+        "b64_phrase_search", "b64_posexplode", "b64_profile_table",
+        "b65_dedup_keep_best", "b65_domain_mixture", "b65_embedding_covariance",
+        "b65_quality_deciles", "b66_pagerank", "b67_fixed_k_per_group",
+        "b67_mad_outliers", "b67_weighted_sample_topk", "b68_bpe_apply",
+        "b68_bpe_train", "b68_char_entropy", "b69_line_dedup",
+        "b69_text_normalize", "b70_dsir_importance", "b70_token_budget_fill",
+        "b71_kmeans_step", "b72_domain_kl", "b72_oov_rate", "b72_semdedup",
+        "b74_video_frames", "b86_kmv_incremental_refresh", "b87_kmv_set_ops",
+        "b88_priority_sample", "b89_stream_kmv_maintain",
+        "b90_stream_priority_maintain",
+    }
+)
+
+# Round-12 retunes: queries whose Spark-side behavior changed this round and
+# therefore need a fresh hash-verified driver row even though a historical
+# row exists.
+_RETUNED_IN_R12 = frozenset(
+    {
+        # r11 advisor items 1-3: b89/b90's stream staging moved to a shared
+        # helper (pmod grouping + a staged-counts-sum-to-source assertion so
+        # a NULL/negative-key fixture row can never silently fall out of the
+        # stream while the witness and oracle keep it), and the per-run
+        # summary/checkpoint scratch dirs are now cleaned up via try/finally
+        # on ALL exit paths.  Oracle pairs unchanged; the changed Spark side
+        # earns a fresh row (and lands b90's r12-verdict-#4 re-check).
+        "b89_stream_kmv_maintain",
+        "b90_stream_priority_maintain",
+    }
+)
+
+# Evidence-age chain consumed by all_queries() AND the window-invariant test
+# (tests/test_oracle.py) so code and test share ONE ordering (r11 advisor
+# item 4: the old rank() collapsed R01/R02 into one rank while the test
+# compared last-green rounds directly — a tie-rank boundary split could
+# false-fail).  rank(name) == the round of its freshest green driver row.
+GREEN_ROUNDS: dict[int, frozenset] = {
+    1: _DRIVER_GREEN_R01,
+    2: _DRIVER_GREEN_R02,
+    3: _DRIVER_GREEN_R03,
+    4: _DRIVER_GREEN_R04,
+    5: _DRIVER_GREEN_R05,
+    6: _DRIVER_GREEN_R06,
+    7: _DRIVER_GREEN_R07,
+    8: _DRIVER_GREEN_R08,
+    9: _DRIVER_GREEN_R09,
+    10: _DRIVER_GREEN_R10,
+    11: _DRIVER_GREEN_R11,
+}
+
+# The current round's retune set, under a stable name so the invariant test
+# doesn't hard-code a round number.
+RETUNED_CURRENT = _RETUNED_IN_R12
+
+
+def evidence_rank(name: str) -> int:
+    """0 = must be (re-)verified this round (never green, or retuned);
+    otherwise the round number of the freshest green driver row — the
+    window sorts ascending, so stalest evidence re-verifies first."""
+    if name in RETUNED_CURRENT:
+        return 0
+    return max((r for r, s in GREEN_ROUNDS.items() if name in s), default=0)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules on first access so the registry is populated.
     from . import queries as _  # noqa: F401
 
     # Driver contract: only the FIRST 50 entries get a CORRECTNESS row.
-    # Round-11 window = rank 0 (new/retuned this round) followed by the
-    # queries whose freshest green evidence is OLDEST — after r10 refreshed
-    # the stale r5/r6-evidence rows, the stalest survivors are the
-    # round-7-evidence queries (rank 6: the b01/b03/b04 scans, b28/b29 UDF
-    # rows, b30/b32/b33 streaming rows, b38 lake ops), then round-8 filling
-    # the remaining slots.  Every query is driver-green at least once
-    # (r6-r10 verdicts), so the window purely rotates the oldest evidence
-    # forward for re-verification; newest evidence (r10) sits at the back.
-    def rank(name: str) -> int:
-        if name in _RETUNED_IN_R11:
-            return 0
-        if name in _DRIVER_GREEN_R10:
-            return 9
-        if name in _DRIVER_GREEN_R09:
-            return 8
-        if name in _DRIVER_GREEN_R08:
-            return 7
-        if name in _DRIVER_GREEN_R07:
-            return 6
-        if name in _DRIVER_GREEN_R06:
-            return 5
-        if name in _DRIVER_GREEN_R05:
-            return 4
-        if name in _DRIVER_GREEN_R04:
-            return 3
-        if name in _DRIVER_GREEN_R03:
-            return 2
-        if name in _DRIVER_GREEN_R02 or name in _DRIVER_GREEN_R01:
-            return 1  # oldest surviving evidence (last verified round 2)
-        return 0  # never driver-verified: must land inside the window
-
+    # Round-12 window = rank 0 (new b91/b92 + the b89/b90 staging retunes)
+    # followed by the queries whose freshest green evidence is OLDEST (after
+    # r11 refreshed the r6-evidence rows, the stalest survivors are the
+    # round-7-evidence scans/UDF/streaming/lake rows), newest (r11) at the
+    # back.  Every query is driver-green at least once (r6-r11 verdicts), so
+    # the window purely rotates the oldest evidence forward.
     idx = {n: i for i, n in enumerate(_REGISTRY)}
-    names = sorted(_REGISTRY, key=lambda n: (rank(n), idx[n]))
+    names = sorted(_REGISTRY, key=lambda n: (evidence_rank(n), idx[n]))
     return {n: _REGISTRY[n] for n in names}

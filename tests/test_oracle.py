@@ -50,32 +50,27 @@ def test_no_complex_result_columns(spark, sf_dir):
 
 
 def test_driver_window_covers_unchecked_queries():
-    """Round-11 window invariant: the driver's 50-slot CORRECTNESS window
-    must hold (in priority order) anything new/retuned this round, then the
-    queries whose freshest green driver evidence is OLDEST (after r10
-    refreshed the r5/r6-evidence rows, the stalest survivors are the
-    r7-last-green rows); freshest evidence rotates to the back.
+    """Window invariant: the driver's 50-slot CORRECTNESS window must hold
+    (in priority order) anything new/retuned this round, then the queries
+    whose freshest green driver evidence is OLDEST; freshest evidence
+    rotates to the back.
 
-    Stated as one invariant instead of per-round set algebra: no query
-    OUTSIDE the window may have staler evidence than any non-rank-0 query
-    INSIDE it."""
+    Test and registry share ONE ordering — registry.evidence_rank, built
+    from registry.GREEN_ROUNDS — so a tie-rank boundary can never split
+    differently here than in all_queries() (r11 advisor item 4)."""
     import ps_datalake_spark.registry as reg
 
     names = list(SPECS)
     window = set(names[:50])
-    green_rounds = {
-        r: getattr(reg, f"_DRIVER_GREEN_R{r:02d}") for r in range(1, 11)
-    }
-    ever_green = frozenset().union(*green_rounds.values())
-
-    def last_green(n: str) -> int:
-        return max((r for r, s in green_rounds.items() if n in s), default=0)
+    ever_green = frozenset().union(*reg.GREEN_ROUNDS.values())
+    latest_round = max(reg.GREEN_ROUNDS)
 
     # rank 0: queries with no green driver row (never checked, or retuned
     # this round).  Once MORE than 50 rank-0 queries exist, overflow is
     # unavoidable — but then every window slot must hold a rank-0 entry:
     # nothing with existing green evidence may displace an unverified query.
-    rank0 = (set(names) - ever_green) | reg._RETUNED_IN_R11
+    rank0 = {n for n in names if reg.evidence_rank(n) == 0}
+    assert (set(names) - ever_green) | reg.RETUNED_CURRENT == rank0
     if len(rank0) <= 50:
         assert rank0 <= window, (
             f"never-verified queries outside window: {sorted(rank0 - window)}"
@@ -85,13 +80,13 @@ def test_driver_window_covers_unchecked_queries():
             f"evidence-bearing queries inside an overflowing window: "
             f"{sorted(window - rank0)}"
         )
-    assert not (window & (green_rounds[10] - reg._RETUNED_IN_R11)), (
-        "fresh r10 greens must rotate to the back"
+    assert not (window & (reg.GREEN_ROUNDS[latest_round] - reg.RETUNED_CURRENT)), (
+        f"fresh r{latest_round} greens must rotate to the back"
     )
     # Oldest-evidence priority, the general form: every non-rank-0 window
-    # occupant must carry evidence no fresher than every query left outside.
-    inside_evidence = [last_green(n) for n in window - rank0]
-    outside_evidence = [last_green(n) for n in set(names) - window]
+    # occupant must carry rank no fresher than every query left outside.
+    inside_evidence = [reg.evidence_rank(n) for n in window - rank0]
+    outside_evidence = [reg.evidence_rank(n) for n in set(names) - window]
     if inside_evidence and outside_evidence:
         assert max(inside_evidence) <= min(outside_evidence), (
             "a fresher-evidence query occupies a window slot while staler "

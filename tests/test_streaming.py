@@ -258,3 +258,47 @@ def test_b90_stream_priority_bounded_state(spark, sf_dir):
     assert row["n_sample"] <= sp._PS_K
     assert sp._B90_LAST["n_batches"] == 4
     assert sp._B90_LAST["summary_rows"] <= 4 * (sp._PS_K + 1)
+
+
+def test_stream_staging_rejects_dropped_rows(spark, tmp_path):
+    """b89/b90's shared staging (_stage_stream_files) must fail LOUDLY when
+    the group split drops rows — a NULL key pmods to NULL and matches no
+    group, silently shrinking the stream's population relative to the
+    full-recompute witness and the DuckDB oracle (r11 advisor items 1-2).
+    Negative keys must NOT trip it: pmod lands them in a real group."""
+    import pytest as _pt
+
+    from ps_datalake_spark.queries.sketch_pack import _stage_stream_files
+
+    ok_dir = tmp_path / "ok"
+    ok_dir.mkdir()
+    import datetime as _dt
+
+    _ts = _dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(5, "a", _ts), (-3, "b", _ts), (0, "c", _ts), (7, "d", _ts),
+         (-1, "e", _ts)],
+        "event_id bigint, event_type string, ts timestamp",
+    ).write.parquet(str(ok_dir / "events.parquet"))
+    stage = _stage_stream_files(
+        spark, str(ok_dir), "events", ("event_id", "event_type"),
+        "event_id", "test_stage_ok",
+    )
+    import os
+    total = sum(
+        spark.read.parquet(os.path.join(stage, f)).count()
+        for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    assert total == 5  # negative keys staged, nothing dropped
+
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    spark.createDataFrame(
+        [(5, "a", _ts), (None, "b", _ts), (7, "c", _ts)],
+        "event_id bigint, event_type string, ts timestamp",
+    ).write.parquet(str(bad_dir / "events.parquet"))
+    with _pt.raises(ValueError, match="dropped rows"):
+        _stage_stream_files(
+            spark, str(bad_dir), "events", ("event_id", "event_type"),
+            "event_id", "test_stage_bad",
+        )
