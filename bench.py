@@ -564,6 +564,14 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             times,
             _time_spark(spark, specs, light, sf_dir, cpus, light_aqe=True, warmups=1),
         )
+    # The headline-window noop floor, measured INSIDE the headline section
+    # (r11 verdict #1a): this is the reference the scale1000 degraded-window
+    # retry compares its own in-window floor against.  It also becomes the
+    # payload's `floor` — previously measured after all scale sections, i.e.
+    # in the scale1000 session's window, which is exactly the window the
+    # comparison must be independent of (r11's BASELINE.md forensics read
+    # `floor` as "the headline window's" — now it really is).
+    headline_floor = _floor(spark)
     if eager:
         # the eager builders (multi-second persisted pipelines) run in a
         # FRESH session: 13 prior timed queries leave broadcast relations and
@@ -750,6 +758,7 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     scale1000_times: dict[str, float] = {}
     scale1000_duck: dict[str, float] = {}
     scale1000_err = None
+    scale1000_retried = False
     try:
         s1000_tables = {"lineitem", "orders", "customer", "supplier"}
         run_1000 = os.environ.get("SPARK_GRAFT_SCALE1000", "1") == "1"
@@ -776,25 +785,64 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             scale1000_floor = _floor(spark)
             _pretouch(s1000_dir)
             scale1000_duck = _sweep_duckdb(SCALE1000_QUERIES, s1000_dir)
+            # Degraded-window retry (r11 verdict #1a): when the scale1000
+            # section's own noop floor reads >1.5x the headline window's,
+            # the whole section ran in a degraded host window (r11: noop
+            # 0.0799 vs 0.0463 headline — and the builder draws taken in
+            # healthier windows recorded q1 1.87x / q5 1.93x where the
+            # driver artifact read 2.11x / 2.18x).  One extra temporally
+            # separated sweep in a FRESH session — min-merged SYMMETRICALLY
+            # into both engines so the draw count stays even — recovers the
+            # healthy-window numbers the three-draw spread proves exist.
+            # The DuckDB sweep above provides the temporal separation.
+            if scale1000_floor["spark_noop_sec"] > 1.5 * headline_floor["spark_noop_sec"]:
+                scale1000_retried = True
+                _recycle()
+                _pretouch(s1000_dir)
+                _apply_profile(spark, s1000_dir, cpus, aqe=True)
+                scale1000_times = _min_merge(
+                    scale1000_times,
+                    {n: _time_spark_scaled(n, s1000_dir)
+                     for n in SCALE1000_QUERIES},
+                )
+                refloor = _floor(spark)
+                scale1000_floor = {
+                    k: min(scale1000_floor[k], refloor[k])
+                    for k in scale1000_floor
+                }
+                _pretouch(s1000_dir)
+                scale1000_duck = _min_merge(
+                    scale1000_duck,
+                    _time_duckdb(specs, SCALE1000_QUERIES, s1000_dir),
+                )
     except Exception as e:
         scale1000_err = f"{type(e).__name__}: {e}"
 
-    def _scale_summary(ts: dict, duck: dict) -> dict:
+    def _scale_summary(ts: dict, duck: dict, floor: dict | None = None) -> dict:
         """Per-query {engine_sec, duckdb_sec, ratio} for a scale section.
 
         Engine-seconds are the PRIMARY metric: round-over-round comparison is
         one subtraction per cell.  The ratio is carried alongside but cannot
         be read alone — r7 showed five ratio cells 'regress' while every
         engine time improved, purely because the symmetric page-cache
-        pre-touch sped the DuckDB denominator (r7 verdict #3)."""
-        return {
-            n: {
+        pre-touch sped the DuckDB denominator (r7 verdict #3).  When the
+        section measured an in-window noop floor, each row also carries
+        engine_over_noop = engine_sec / spark_noop_sec (r11 verdict #1b) —
+        the window-invariant metric BASELINE.md's adjudicated floor registry
+        tracks, so degraded-host drift is separable from plan regressions
+        without forensics."""
+        noop = (floor or {}).get("spark_noop_sec")
+        out = {}
+        for n in ts:
+            row = {
                 "engine_sec": round(ts[n], 3),
                 "duckdb_sec": round(duck[n], 3) if n in duck else None,
                 "ratio": round(ts[n] / duck[n], 2) if duck.get(n) else None,
             }
-            for n in ts
-        }
+            if noop:
+                row["engine_over_noop"] = round(ts[n] / noop, 1)
+            out[n] = row
+        return out
 
     # honest engine-vs-DuckDB summary over the comparable set (queries whose
     # oracle performs equivalent work; VERIFICATION_ORACLES excluded above)
@@ -815,7 +863,7 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
                 n for n in times if n in VERIFICATION_ORACLES
             ),
         },
-        "floor": _floor(spark),
+        "floor": headline_floor,
         "conf": {"headline": profile, "scale": scale_profile
                  if scale_times else None},
         "scale10": {
@@ -844,8 +892,11 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             "factor": 1000,
             "queries": scale1000_times,
             "duckdb": scale1000_duck,
-            "summary": _scale_summary(scale1000_times, scale1000_duck),
+            "summary": _scale_summary(
+                scale1000_times, scale1000_duck, scale1000_floor
+            ),
             "floor": scale1000_floor,
+            "retried": scale1000_retried,
             "error": scale1000_err,
         },
     }
@@ -874,6 +925,9 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
         "s10_noop": (scale10_floor or {}).get("spark_noop_sec"),
         "s1000_noop": (scale1000_floor or {}).get("spark_noop_sec"),
         "s1000_duck_noop": (scale1000_floor or {}).get("duckdb_noop_sec"),
+        # 1 when the degraded-window retry fired (r11 verdict #1a) — the
+        # recorded s1000 numbers are then min-merged across two windows
+        "s1000_retried": int(scale1000_retried),
     }
     compact = {
         "compact_tail": True,

@@ -54,7 +54,7 @@ def test_bench_main_path(spark, sf_dir, capsys, monkeypatch):
     # host_norm (r10 verdict #4) must ride in the tail, before the two
     # must-survive blocks (keys present even when the probes are disabled)
     assert set(compact["host_norm"]) == {
-        "s10_noop", "s1000_noop", "s1000_duck_noop"
+        "s10_noop", "s1000_noop", "s1000_duck_noop", "s1000_retried"
     }
     assert compact["comparable"] == payload["comparable"]
     assert compact["floor"] == payload["floor"]
@@ -73,12 +73,13 @@ def test_bench_main_path(spark, sf_dir, capsys, monkeypatch):
     proj["scale100_ratio"] = {n: 999.99 for n in bench.SCALE100_QUERIES}
     proj["scale300_ratio"] = {n: 999.99 for n in bench.SCALE300_QUERIES}
     proj["scale1000"] = {
-        n: {"engine_sec": 9999.999, "duckdb_sec": 9999.999, "ratio": 999.99}
+        n: {"engine_sec": 9999.999, "duckdb_sec": 9999.999, "ratio": 999.99,
+            "engine_over_noop": 99999.9}
         for n in bench.SCALE1000_QUERIES
     }
     proj["host_norm"] = {
         "s10_noop": 99.9999, "s1000_noop": 99.9999,
-        "s1000_duck_noop": 99.9999,
+        "s1000_duck_noop": 99.9999, "s1000_retried": 1,
     }
     assert len(json.dumps(proj)) <= 1900, (
         "projected production compact line exceeds the driver window"

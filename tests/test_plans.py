@@ -564,3 +564,28 @@ def test_stream_kmv_batch_summary_plan(spark, sf_dir):
     assert "HashAggregate" in plan, (
         "the batch distinct must be a (map-side combined) hash aggregate"
     )
+
+
+def test_stream_hh_batch_summary_plan(spark, sf_dir):
+    """b91: the per-micro-batch maintenance plan (_hh_batch_summary, the
+    exact relation foreachBatch writes) must be one map-side-combined
+    per-term count over the batch with a broadcast 1-row total attached —
+    no global sort, no cartesian of data relations, no Python eval.  This
+    is the plan that runs once per arriving batch at 100 TB."""
+    from ps_datalake_spark.io import load_table
+    from ps_datalake_spark.queries.sketch_pack import _HH_T, _hh_batch_summary
+
+    batch = load_table(spark, sf_dir, "documents")
+    df = _hh_batch_summary(batch, _HH_T)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "rangepartitioning" not in plan.lower(), (
+        "a global range sort of the batch must not exist"
+    )
+    assert "HashAggregate" in plan, (
+        "the per-term batch count must be a (map-side combined) hash aggregate"
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "the 1-row batch total must attach via broadcast"
+    )

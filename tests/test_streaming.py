@@ -302,3 +302,25 @@ def test_stream_staging_rejects_dropped_rows(spark, tmp_path):
             spark, str(bad_dir), "events", ("event_id", "event_type"),
             "event_id", "test_stage_bad",
         )
+
+
+def test_b91_stream_hh_bounded_state(spark, sf_dir):
+    """b91's maintenance contract, completing the streaming triple
+    (b89 KMV, b90 priority sample, b91 heavy hitters): multiple real
+    micro-batches, cross-batch state bounded by T rows per batch
+    (<= T-1 retained terms by pigeonhole + 1 sentinel), and the
+    maintained candidate set equal to the batch-split recompute."""
+    from ps_datalake_spark.queries import sketch_pack as sp
+    from ps_datalake_spark.registry import all_queries
+
+    row = (
+        all_queries()["b91_stream_hh_maintain"]
+        .build(spark, sf_dir)
+        .first()
+    )
+    assert row["multi_batch"] == 1
+    assert row["maintain_matches"] == 1
+    assert row["n_missed_true_hh"] == 0  # pigeonhole across batch splits
+    assert row["within_bound"] == 1
+    assert sp._B91_LAST["n_batches"] == sp._HH_STREAM_B
+    assert sp._B91_LAST["summary_rows"] <= sp._HH_STREAM_B * sp._HH_T
