@@ -222,8 +222,11 @@ def minhash_signatures(
     return src.mapInPandas(_sign, "doc long, sig array<long>")
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16, sig_len: int = 64) -> DataFrame:
-    """Banded LSH: docs agreeing on any band of the signature become candidates.
+def banded_signatures(sig_df: DataFrame, bands: int = 16, sig_len: int = 64) -> DataFrame:
+    """The banded-LSH relation (doc, band_idx, band_hash) — one row per
+    (doc, band).  This relation IS the near-dup index an incremental
+    pipeline persists (b92): 16 bigint rows per document, proportional to
+    document COUNT, never to text size.
 
     `sig_len` must be a positive multiple of `bands` — with rows-per-band 0
     every band hash would collide and the join degenerates to all-pairs; a
@@ -232,7 +235,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16, sig_len: int = 64) -
     if bands <= 0 or sig_len <= 0 or bands > sig_len or sig_len % bands != 0:
         raise ValueError(f"sig_len ({sig_len}) must be a positive multiple of bands ({bands})")
     r = sig_len // bands
-    banded = sig_df.select(
+    return sig_df.select(
         "doc",
         F.posexplode(
             F.array(
@@ -249,6 +252,11 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16, sig_len: int = 64) -
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16, sig_len: int = 64) -> DataFrame:
+    """Banded LSH: docs agreeing on any band of the signature become candidates."""
+    banded = banded_signatures(sig_df, bands=bands, sig_len=sig_len)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

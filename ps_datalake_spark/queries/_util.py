@@ -6,6 +6,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import load_table
 
@@ -111,3 +112,78 @@ def dumps_by_value(fn) -> bytes:
         return cp.dumps(fn)
     finally:
         cp.unregister_pickle_by_value(mod)
+
+
+def stage_stream_files(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    cols: tuple[str, ...],
+    key_col: str,
+    prefix: str,
+    n_groups: int = 4,
+    transform=None,
+) -> str:
+    """Stage one fixture table as ``n_groups`` deterministic parquet files
+    for a readStream (maxFilesPerTrigger=1) — shared by the streaming
+    maintenance queries (b89/b90/b91/b92).
+
+    Grouping uses ``pmod`` so a negative key still lands in a group, and the
+    staged group counts are ASSERTED to sum to the source row count at
+    staging time: a NULL-key row (pmod → NULL, matches no group) fails
+    loudly here instead of silently falling out of the stream while the
+    full-recompute witness and the DuckDB oracle still count it (r11
+    advisor items 1-2 — the same NULL-population bug class b86/b87 fixed).
+
+    The stage is cache-keyed by source-file identity (size+mtime), so a
+    regenerated fixture re-stages; stale same-prefix siblings left by older
+    fixtures are swept so /tmp does not accumulate one copy per
+    regeneration (advisor item 3).  Staging exists only because the fixture
+    is one parquet file — a production deployment points the same
+    foreachBatch at a real source.
+    """
+    import hashlib
+    import shutil
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    ident = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
+    token = hashlib.md5(ident.encode()).hexdigest()[:8]
+    stage = scratch_dir(f"{prefix}_{token}")
+    parent, base = os.path.dirname(stage), os.path.basename(stage)
+    for sib in os.listdir(parent):
+        if sib.startswith(f"{prefix}_") and sib != base:
+            shutil.rmtree(os.path.join(parent, sib), ignore_errors=True)
+    marker = os.path.join(stage, "_STAGED")
+    if os.path.exists(marker):
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    src = T(spark, sf_dir, table)
+    # ``transform`` derives the staged corpus from the loaded table (e.g.
+    # b92's planted near-dup union) — it is deterministic CODE, so the
+    # source-identity cache key stays valid; a transform change must bump
+    # ``prefix``.
+    if transform is not None:
+        src = transform(src)
+    src = src.select(*cols)
+    total = src.count()
+    staged = 0
+    for g in range(n_groups):
+        tmp = stage + f".g{g}.tmp"
+        (
+            src.where(F.pmod(F.col(key_col), F.lit(n_groups)) == g)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        staged += spark.read.parquet(tmp).count()
+        part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), os.path.join(stage, f"g{g}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    if staged != total:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise ValueError(
+            f"stream staging dropped rows: {table} has {total}, the "
+            f"{n_groups} staged groups hold {staged} (NULL {key_col}?)"
+        )
+    open(marker, "w").close()
+    return stage

@@ -1560,3 +1560,267 @@ def b81_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.lit(0).cast("bigint").alias("hamming")
     ).orderBy("id_a")
+
+
+# ---------------------------------------------------------------------------
+# B35/B33 — incremental near-dup maintenance (r11 verdict stretch item)
+# ---------------------------------------------------------------------------
+
+# b92 introspection for tests, same contract as sketch_pack._B89_LAST.
+_B92_LAST: dict = {}
+
+_INCR_K = 64        # MinHash signature length (b35's)
+_INCR_BANDS = 16    # LSH bands (b35's)
+_INCR_THRESH = 0.3  # est-Jaccard acceptance threshold (b35's)
+# Planted-copy id offset.  100001 % 4 == 1, so under the pmod-4 batch
+# staging a copy ALWAYS lands in a different micro-batch than its original —
+# every planted pair must be detected across batches via the index, and a
+# dense natural corpus (doc_id < ~10000 at the driven SFs) cannot produce
+# the gap accidentally.
+_INCR_OFFSET = 100001
+_INCR_B = 4         # staged micro-batches
+
+
+def _incr_plant(docs: DataFrame) -> DataFrame:
+    """documents ∪ 10 planted EXACT duplicates at +_INCR_OFFSET — the
+    _planted_text_corpus construction (same guard) with a cross-batch
+    offset; identical text ⇒ identical signature ⇒ candidate recall 1 and
+    est_jaccard exactly 1.0 by construction."""
+    docs = docs.select("doc_id", "text")
+    planted = docs.where(
+        (F.col("doc_id") < 10)
+        & F.col("text").isNotNull()
+        & (F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
+    ).select((F.col("doc_id") + F.lit(_INCR_OFFSET)).alias("doc_id"), "text")
+    return docs.unionByName(planted)
+
+
+def _incr_batch_pairs(sigs_b: DataFrame, idx: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """b92's per-batch emission, the plan that runs once per arriving shard
+    at 100 TB (plan-pinned in tests/test_plans.py): the arriving batch's
+    banded signatures equi-join the persisted index on (band_idx,
+    band_hash) — cross pairs against EARLIER-batch docs, via_index=1 — and
+    themselves (within-batch pairs, via_index=0).  Prior shards' TEXT is
+    never touched: per-batch work is the batch's own signature pass plus a
+    join against the 16-bigint-rows-per-doc index relation.
+
+    Returns (banded_b, pairs) — banded_b is what the batch appends to the
+    index."""
+    banded_b = D.banded_signatures(sigs_b, bands=_INCR_BANDS, sig_len=_INCR_K)
+    cross = (
+        banded_b.alias("n")
+        .join(
+            idx.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_hash") == F.col("o.band_hash"))
+            & (F.col("n.doc") != F.col("o.doc")),
+        )
+        .select(
+            F.least("n.doc", "o.doc").alias("id_a"),
+            F.greatest("n.doc", "o.doc").alias("id_b"),
+        )
+        .distinct()
+        .select("id_a", "id_b", F.lit(1).cast("bigint").alias("via_index"))
+    )
+    within = D.lsh_candidate_pairs(
+        sigs_b, bands=_INCR_BANDS, sig_len=_INCR_K
+    ).select("id_a", "id_b", F.lit(0).cast("bigint").alias("via_index"))
+    return banded_b, cross.unionByName(within)
+
+
+@query(
+    "b92_incremental_neardup",
+    # Signatures are Spark-internal, but the planted cross-batch exact
+    # duplicates have deterministic recall 1, est_jaccard exactly 1.0, and
+    # MUST be found via the index (via_index=1) — the copy always arrives in
+    # a different batch than its original.  incremental_matches_recompute
+    # and multi_batch are runtime witnesses with their REQUIRED values
+    # pinned (b89's discipline): the incremental pair set is a
+    # deterministic function of the corpus, so a Spark-side 0 is a defect
+    # and hash-mismatches.
+    oracle=f"""
+    SELECT doc_id AS id_a,
+           doc_id + {_INCR_OFFSET} AS id_b,
+           CAST(1.0 AS DOUBLE) AS est_jaccard,
+           CAST(1 AS BIGINT) AS via_index,
+           CAST(1 AS BIGINT) AS incremental_matches_recompute,
+           CAST(1 AS BIGINT) AS multi_batch
+    FROM documents
+    WHERE {_PLANTED_GUARD}
+    ORDER BY id_a
+    """,
+    tags=("B33", "B35", "llm", "streaming"),
+    doc="INCREMENTAL near-dup maintenance (r11 verdict stretch): dedup "
+    "arriving shards against the accumulated corpus WITHOUT re-scanning it "
+    "— the op every real training-data pipeline runs, where today's b35 "
+    "rows recompute from scratch.  The corpus's dedup index is the "
+    "persisted banded MinHash signature relation (doc, band_idx, "
+    "band_hash — 16 bigint rows per document, proportional to document "
+    "count, never text size).  A readStream over the planted corpus staged "
+    "as four files (maxFilesPerTrigger=1, availableNow) runs foreachBatch; "
+    "each micro-batch computes signatures for ITS OWN documents only, "
+    "equi-joins its banded signatures against the index to emit "
+    "(earlier-doc, new-doc) cross near-dup candidates and against itself "
+    "for within-batch pairs, then appends its bands to the index and its "
+    "signatures to the score store.  Witnessed end-to-end: every planted "
+    "duplicate arrives in a LATER batch than its original (offset pmod "
+    "construction) and is detected via the index (via_index=1 per output "
+    "row); incremental_matches_recompute pins that the union of per-batch "
+    "emissions equals the from-scratch banded-LSH recompute on the full "
+    "corpus EXACTLY (symmetric difference empty, est-Jaccard scores "
+    "included) — a pair is emitted exactly once, in the batch where its "
+    "later doc arrives, because the earlier doc's bands are already in the "
+    "index; multi_batch witnesses >= 2 real micro-batches (4 run).  Scale "
+    "shape (100 TB): per-arrival work = one Arrow-batched signature pass "
+    "over the arriving shard + one equi-join against the index (bucketed "
+    "by band hash, Σdf² per bucket, never n²); index growth is 16 rows "
+    "per document (bounded-growth test); prior shards' text is never "
+    "re-read (plan-pinned).",
+)
+def b92_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from ._util import scratch_dir, stage_stream_files
+
+    stage = stage_stream_files(
+        spark, sf_dir, "documents", ("doc_id", "text"),
+        "doc_id", "incr_nd_src", n_groups=_INCR_B, transform=_incr_plant,
+    )
+    run = uuid.uuid4().hex[:12]
+    dirs = {
+        "idx": scratch_dir(f"incr_nd_idx_{run}"),
+        "sig": scratch_dir(f"incr_nd_sig_{run}"),
+        "pairs": scratch_dir(f"incr_nd_pairs_{run}"),
+        "ckpt": scratch_dir(f"incr_nd_ckpt_{run}"),
+    }
+    # try/finally: per-run dirs must not leak on any exit path
+    try:
+        return _b92_run(spark, sf_dir, stage, dirs)
+    finally:
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _b92_run(spark: SparkSession, sf_dir: str, stage: str, dirs: dict) -> DataFrame:
+    import os
+
+    idx_dir, sig_dir, pairs_dir, ckpt = (
+        dirs["idx"], dirs["sig"], dirs["pairs"], dirs["ckpt"]
+    )
+    # seed the stores with empty relations so batch 0 reads a valid (empty)
+    # index and an all-light run still leaves readable parquet
+    spark.createDataFrame(
+        [], "doc long, band_idx int, band_hash long, batch_id long"
+    ).write.mode("overwrite").parquet(idx_dir)
+    spark.createDataFrame(
+        [], "id_a long, id_b long, via_index long, batch_id long"
+    ).write.mode("overwrite").parquet(pairs_dir)
+    spark.createDataFrame(
+        [], "doc long, sig array<long>"
+    ).write.mode("overwrite").parquet(sig_dir)
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        # signatures for THIS BATCH's docs only (Arrow-batched MinHash)
+        sigs_b = D.minhash_signatures(
+            batch_df, "doc_id", "text", k=_INCR_K
+        ).localCheckpoint(eager=True)
+        idx = spark.read.parquet(idx_dir).drop("batch_id")
+        banded_b, pairs = _incr_batch_pairs(sigs_b, idx)
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .coalesce(1).write.mode("append").parquet(pairs_dir)
+        )
+        (
+            banded_b.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .coalesce(1).write.mode("append").parquet(idx_dir)
+        )
+        sigs_b.coalesce(1).write.mode("append").parquet(sig_dir)
+
+    schema = spark.read.parquet(os.path.join(stage, "g0.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        src.writeStream.foreachBatch(update)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # ---- score the maintained pair set from the signature store -----------
+    sigs = spark.read.parquet(sig_dir)
+    pairs = spark.read.parquet(pairs_dir)
+    sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+            ),
+            lambda v: v == 1,
+        )
+    )
+    incr = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "via_index",
+            (agree / F.lit(_INCR_K)).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= _INCR_THRESH)
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- witness: the from-scratch recompute on the full corpus -----------
+    full = D.minhash_neardup_pairs(
+        _incr_plant(T(spark, sf_dir, "documents")),
+        "doc_id", "text",
+        k=_INCR_K, bands=_INCR_BANDS, threshold=_INCR_THRESH,
+    ).select("id_a", "id_b", F.col("est_jaccard").alias("est_full"))
+    mism = (
+        incr.join(full, ["id_a", "id_b"], "full")
+        .where(
+            F.col("est_jaccard").isNull()
+            | F.col("est_full").isNull()
+            | (F.col("est_jaccard") != F.col("est_full"))
+        )
+        .agg(F.count("*").cast("bigint").alias("n_mismatch"))
+    )
+    nb = spark.read.parquet(idx_dir).agg(
+        F.countDistinct("batch_id").cast("bigint").alias("n_batches"),
+        F.count("*").cast("bigint").alias("index_rows"),
+    )
+
+    result = (
+        incr.where(F.col("id_b") - F.col("id_a") == _INCR_OFFSET)
+        .crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "id_a",
+            "id_b",
+            dround("est_jaccard", 4).alias("est_jaccard"),
+            F.col("via_index").cast("bigint").alias("via_index"),
+            F.when(F.col("n_mismatch") == 0, 1).otherwise(0)
+            .cast("bigint").alias("incremental_matches_recompute"),
+            F.when(F.col("n_batches") >= 2, 1).otherwise(0)
+            .cast("bigint").alias("multi_batch"),
+            F.col("index_rows").alias("_idx_rows"),
+            F.col("n_batches").alias("_nb"),
+        )
+        .orderBy("id_a")
+    )
+    out = result.localCheckpoint(eager=True)
+    row = out.first()
+    _B92_LAST.clear()
+    _B92_LAST.update(
+        {
+            "index_rows": row["_idx_rows"] if row else 0,
+            "n_batches": row["_nb"] if row else 0,
+            "pairs_emitted": pairs.count(),
+        }
+    )
+    return out.drop("_idx_rows", "_nb")

@@ -589,3 +589,33 @@ def test_stream_hh_batch_summary_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         "the 1-row batch total must attach via broadcast"
     )
+
+
+def test_incremental_neardup_batch_plan(spark, sf_dir, tmp_path):
+    """b92: the per-batch emission plan (_incr_batch_pairs, the exact
+    relation foreachBatch writes) must equi-join the arriving batch's
+    banded signatures against the persisted index — no cartesian product,
+    and NO scan of any prior shard's documents (the index and the batch
+    are its only inputs).  This is the 100 TB claim: dedup an arriving
+    shard against the accumulated corpus without re-reading it."""
+    from pyspark.sql import functions as F
+
+    from ps_datalake_spark.queries.llm_ops import _incr_batch_pairs
+
+    sigs = spark.createDataFrame(
+        [(1, list(range(64))), (2, list(range(64)))], "doc long, sig array<long>"
+    )
+    idx_path = str(tmp_path / "idx.parquet")
+    spark.createDataFrame(
+        [(0, 0, 12345)], "doc long, band_idx int, band_hash long"
+    ).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    _, pairs = _incr_batch_pairs(sigs, idx)
+    plan = _formatted_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "documents" not in plan, (
+        "the per-batch plan must never rescan prior shards' documents"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "the band probe must be an equi-join on (band_idx, band_hash)"
+    )

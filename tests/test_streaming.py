@@ -324,3 +324,38 @@ def test_b91_stream_hh_bounded_state(spark, sf_dir):
     assert row["within_bound"] == 1
     assert sp._B91_LAST["n_batches"] == sp._HH_STREAM_B
     assert sp._B91_LAST["summary_rows"] <= sp._HH_STREAM_B * sp._HH_T
+
+
+def test_b92_incremental_neardup_bounded_index(spark, sf_dir):
+    """b92's maintenance contract: multiple real micro-batches; the dedup
+    index grows exactly bands rows per signed document (proportional to
+    document COUNT, never text size); every planted cross-batch duplicate
+    is found via the index; and the incremental pair set equals the
+    from-scratch recompute."""
+    from pyspark.sql import functions as F
+
+    from ps_datalake_spark.io import load_table
+    from ps_datalake_spark.queries import llm_ops as lo
+    from ps_datalake_spark.registry import all_queries
+
+    rows = (
+        all_queries()["b92_incremental_neardup"]
+        .build(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r["via_index"] == 1          # detected across batches
+        assert r["est_jaccard"] == 1.0      # exact copies
+        assert r["incremental_matches_recompute"] == 1
+        assert r["multi_batch"] == 1
+    assert lo._B92_LAST["n_batches"] == lo._INCR_B
+    # index growth: exactly bands rows per document that signed (text
+    # non-NULL with >= 3 tokens — minhash_signatures' own skip rule),
+    # counted over the planted corpus
+    corpus = lo._incr_plant(load_table(spark, sf_dir, "documents"))
+    n_signed = corpus.where(
+        F.col("text").isNotNull()
+        & (F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
+    ).count()
+    assert lo._B92_LAST["index_rows"] == lo._INCR_BANDS * n_signed
