@@ -547,26 +547,22 @@ class Store:
         src = df.select(
             F.col(id_col).cast("long").alias("id"), F.col(data_col).alias("data")
         ).withColumn("_sz", F.length("data").cast("long"))
-        # NULL payloads match no size tier and would silently vanish from the
-        # returned (id, hkey) mapping — fail loudly instead (get_blobs makes
-        # the opposite guarantee: every input id appears in its output)
-        null_row = src.where(F.col("data").isNull()).select("id").head(1)
-        if null_row:
-            raise ValueError(
-                f"put_blobs: NULL {data_col!r} for id {null_row[0]['id']} — "
-                "blobs must be non-null bytes (use b'' for empty)"
-            )
         with self._write_lease("put_blobs"):
             src.persist()
             try:
-                return self._put_blobs_inner(src)
+                return self._put_blobs_inner(src, data_col)
             finally:
                 src.unpersist()
 
-    def _put_blobs_inner(self, src: DataFrame) -> DataFrame:
+    def _put_blobs_inner(self, src: DataFrame, data_col: str = "data") -> DataFrame:
         # one cheap pass over sizes decides which tiers exist → absent tiers
-        # cost zero jobs (important: most workloads are single-tier)
+        # cost zero jobs (important: most workloads are single-tier); the
+        # NULL-payload guard rides the same aggregate — a separate head(1)
+        # probe job per put was pure serial-job overhead (r12 optimization:
+        # one fewer driver action per put on every put path)
         tier_counts = src.agg(
+            F.sum(F.col("data").isNull().cast("long")).alias("n_null"),
+            F.max(F.when(F.col("data").isNull(), F.col("id"))).alias("null_id"),
             F.sum((F.col("_sz") <= self.inline_max).cast("long")).alias("n_raw"),
             F.sum(
                 ((F.col("_sz") > self.inline_max) & (F.col("_sz") <= MAX_DECRYPTED_SIZE)).cast(
@@ -580,6 +576,14 @@ class Store:
                 F.lit(0),
             ).alias("raw_bytes"),
         ).head()
+        # NULL payloads match no size tier and would silently vanish from the
+        # returned (id, hkey) mapping — fail loudly instead (get_blobs makes
+        # the opposite guarantee: every input id appears in its output)
+        if int(tier_counts["n_null"] or 0):
+            raise ValueError(
+                f"put_blobs: NULL {data_col!r} for id {tier_counts['null_id']} — "
+                "blobs must be non-null bytes (use b'' for empty)"
+            )
         n_raw, n_mid, n_big = (
             int(tier_counts["n_raw"] or 0),
             int(tier_counts["n_mid"] or 0),
@@ -619,6 +623,12 @@ class Store:
             mid = src.where(
                 (F.col("_sz") > self.inline_max) & (F.col("_sz") <= MAX_DECRYPTED_SIZE)
             )
+            # NOT widened before the Python pass: a conditional repartition
+            # (the b64/_spread treatment) was A/B-measured here and REJECTED
+            # — interleaved at sf0.1 the spread drew 3.01 s vs 2.70 s without
+            # (every round), because the per-blob crypto is cheap relative to
+            # the blob-bytes exchange + 32-task scheduling it buys.  At real
+            # scale the scan has many splits and the question is moot.
             mid_enc = (
                 mid.select("id", "data")
                 .mapInPandas(_encrypt_batches_for(self.manifest["cipher"]), _ENC_RESULT_SCHEMA)

@@ -75,9 +75,17 @@ def b38_put_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _stable_store(spark, "q_store_dedup", sf_dir)
     blobs = _doc_blobs(spark, sf_dir)
     first = store.put_blobs(blobs)
-    n_blobs = first.count()
-    store.put_blobs(blobs).count()  # idempotent second put
-    n_raw = first.where(F.col("hkey").startswith("raw:")).count()
+    # put_blobs is eager (appends committed, result localCheckpointed), so the
+    # second put needs no action of its own, and n_blobs/n_raw read the
+    # checkpointed mapping in ONE aggregate — 3 serial driver jobs fewer per
+    # run than the count()-per-statistic draft (r12 optimization; results
+    # identical by construction)
+    store.put_blobs(blobs)  # idempotent second put (eager inside)
+    stats = first.agg(
+        F.count("*").alias("n_blobs"),
+        F.sum(F.col("hkey").startswith("raw:").cast("long")).alias("n_raw"),
+    ).head()
+    n_blobs, n_raw = int(stats["n_blobs"]), int(stats["n_raw"] or 0)
     n_chunk_rows = store.chunks().count()
     return spark.createDataFrame(
         [(n_blobs, n_raw, n_chunk_rows)], "n_blobs bigint, n_raw bigint, n_chunk_rows bigint"

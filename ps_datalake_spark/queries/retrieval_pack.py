@@ -85,7 +85,16 @@ _B = 0.75
     "so the rank comparison cannot straddle a libm ulp.",
 )
 def b64_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    from ..operators.dedup import _spread
+
+    # _spread (conditional repartition): under the eager-builder heavy
+    # profile (128 MB splits) the whole corpus scans as ONE task, so the
+    # tokenize+explode+partial-aggregate — the measured dominator of this
+    # query — ran single-threaded.  Widening costs one exchange of raw text
+    # (~30 MB at the 10x probe) and parallelizes the tokenize 32-way:
+    # measured 3.81 -> 1.91 s at 10x, identical output.  At real scale the
+    # scan already has enough splits and the guard skips the shuffle.
+    docs = _spread(T(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),

@@ -164,3 +164,19 @@ def test_maintenance_is_atomic_for_readers(spark, tmp_path):
     # reopening resolves the pointer from disk (persisted, not in-memory state)
     reopened = Store.open(spark, store.path)
     assert reopened.chunks().count() == n + 1
+
+
+def test_put_blobs_null_payload_raises(spark, tmp_path):
+    """The NULL-payload guard must still fail loudly now that it rides the
+    tier-counts aggregate instead of its own head(1) probe job (r12
+    optimization: one fewer serial driver action per put)."""
+    import pytest
+
+    store = Store.create(spark, str(tmp_path / "null_store"), prefix_len=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ok")), (2, None)], "id long, data binary"
+    )
+    with pytest.raises(ValueError, match="NULL 'data' for id 2"):
+        store.put_blobs(df)
+    # nothing must have been stored besides the create-time sentinel
+    assert store.chunks().count() == 1
