@@ -20,6 +20,69 @@ def scratch_dir(name: str) -> str:
     return os.path.join(base, name)
 
 
+def dump_plan(df: DataFrame, name: str) -> None:
+    """Write ``explain('formatted')`` of a BUILDER-JOB DataFrame to
+    ``$PSDL_PLAN_DUMP/<name>.txt`` when that env var is set (no-op otherwise).
+
+    Checkpointed pipelines commit only a ``Scan ExistingRDD`` stub as their
+    final plan, so the plan evidence for the jobs that do the real work —
+    the pre-``localCheckpoint``/persist builder stages — was previously
+    uncapturable (r12 verdict #4: the shipped b64 exchange never appeared in
+    any committed plan).  Call this immediately before each checkpoint/
+    materialization barrier; tools/dump_builder_plans.py sets the env var
+    and collects the files.  Cost when unset: one os.environ lookup."""
+    out = os.environ.get("PSDL_PLAN_DUMP")
+    if not out:
+        return
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, f"{name}.txt"), "w") as f:
+        f.write(buf.getvalue())
+
+
+def sweep_stale_scratch(max_age_sec: int = 3600) -> int:
+    """Remove per-run scratch dirs (UUID-named checkpoints/indexes) older
+    than ``max_age_sec`` from the scratch root.
+
+    Per-run dirs are cleaned by try/finally on every normal exit path, but a
+    SIGKILL (the driver's low-core bench timeout, r12) can strand a full set
+    — /tmp then accumulates one orphan set per killed run.  Only prefixes
+    that are per-run by construction (fresh UUID names every invocation) are
+    swept; content-keyed caches (scaled corpora, staged stream files, stable
+    stores) are never touched.  The age guard keeps a concurrently running
+    session's live dirs safe."""
+    import shutil
+    import time as _time
+
+    per_run_prefixes = (
+        "incr_nd_idx_", "incr_nd_sig_", "incr_nd_pairs_", "incr_nd_ckpt_",
+        "docs_stream_cp_", "ckpt_stream_sink_", "q_wf_a_", "q_wf_b_",
+        "q_store_dedup_run_",
+    )
+    base = os.path.join(tempfile.gettempdir(), "ps_datalake_spark_scratch")
+    removed = 0
+    try:
+        entries = list(os.scandir(base))
+    except OSError:
+        return 0
+    now = _time.time()
+    for e in entries:
+        if not e.name.startswith(per_run_prefixes):
+            continue
+        try:
+            if now - e.stat().st_mtime > max_age_sec:
+                shutil.rmtree(e.path, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed
+
+
 def ordered(df: DataFrame, *cols: str) -> DataFrame:
     """Total ORDER BY for deterministic output (FIXTURES.md conventions)."""
     return df.orderBy(*cols)

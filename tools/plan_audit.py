@@ -72,7 +72,12 @@ def audit(plan: str) -> dict:
         if s.strip()
     ]
     return {
-        "exchanges": n(r"\bExchange\b") - n(r"ReusedExchange"),
+        # real shuffle boundaries only: match the formatted-plan node header
+        # "(k) Exchange" so ReusedExchange / BroadcastExchange never count
+        # (ADVICE r12: \bExchange\b cannot match inside "ReusedExchange" —
+        # no word boundary mid-token — so the old subtraction double-
+        # discounted reuse and could go negative)
+        "exchanges": len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)),
         "reused_exchanges": n(r"ReusedExchange"),
         "batch_eval_py": n(r"BatchEvalPython"),
         "arrow_eval_py": n(r"ArrowEvalPython|MapInArrow|MapInPandas|FlatMapGroupsInPandas"),
