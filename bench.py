@@ -208,6 +208,25 @@ SCALE1000_QUERIES = [
 ]
 _SCALE1000_MIN_FREE_BYTES = 40 << 30
 
+# Low-core runs (the driver's SPARK_GRAFT_CPUS=8 scaling probe) skip the
+# scale sections: the full protocol (headline + 10/100/300/1000x sweeps +
+# DuckDB sweeps) measured rc=124 against the driver's time budget at 8 cores
+# (BENCH_r12_c8.json — killed mid-flight, zero scaling evidence recorded).
+# The scaling evidence the low-core run exists to produce is the per-query
+# HEADLINE map at a second core count; the deep-scale convergence curves are
+# the 32-core run's job.  Threshold 16 = half the main run's cores; override
+# with SPARK_GRAFT_FULL_SCALE=1 to force the full protocol at any core count.
+_LOW_CORE_CPUS = 16
+
+# Healthy-host noop reference for the degraded-window retry (r12 verdict #5):
+# the relative gate (section floor > 1.5x headline floor) cannot see a
+# UNIFORMLY degraded session — r12's whole run drew 0.09 s floors (healthy
+# windows on this container draw 0.042-0.048 s, BASELINE.md rounds 11-12),
+# the gate never fired, and an unchanged plan breached its engine_over_noop
+# threshold.  The retry now also fires when the scale1000 floor exceeds
+# 1.5x this reference, so uniformly slow sessions re-draw too.
+_HEALTHY_NOOP_REF_SEC = 0.046
+
 SCALE_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -538,6 +557,23 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
         spark = get_spark(app_name="ps-datalake-bench")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    low_core = (
+        cpus < _LOW_CORE_CPUS
+        and os.environ.get("SPARK_GRAFT_FULL_SCALE", "0") != "1"
+    )
+    low_core_skip = (
+        f"skipped: low-core run (cpus={cpus} < {_LOW_CORE_CPUS}) — the deep-"
+        "scale sections exceed the low-core time budget (r12: rc=124); "
+        "headline queries carry the per-core-count scaling evidence"
+    )
+    # sweep scratch stranded by a hard-killed prior run (SIGKILL skips the
+    # per-run try/finally cleanup; r12's c8 timeout left a full incr_nd_* set)
+    try:
+        from ps_datalake_spark.queries._util import sweep_stale_scratch
+
+        sweep_stale_scratch()
+    except Exception:
+        pass
 
     def _recycle_session():
         """Fresh JVM for the next timing section (only when bench owns the
@@ -695,7 +731,9 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
         return out
 
     try:
-        if scale_queries and os.environ.get("SPARK_GRAFT_SCALE10", "1") == "1":
+        if low_core:
+            scale_err = low_core_skip
+        elif scale_queries and os.environ.get("SPARK_GRAFT_SCALE10", "1") == "1":
             scaled_dir = _build_scaled_dir(sf_dir)
             _recycle()
             _pretouch(scaled_dir)
@@ -721,7 +759,9 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
         [n for n in _s100_env.split(",") if n] if _s100_env else SCALE100_QUERIES
     )
     try:
-        if scale100_queries and os.environ.get("SPARK_GRAFT_SCALE100", "1") == "1":
+        if low_core:
+            scale100_err = low_core_skip
+        elif scale100_queries and os.environ.get("SPARK_GRAFT_SCALE100", "1") == "1":
             s100_dir = _build_scaled_dir(
                 sf_dir, factor=100,
                 scale_tables={"lineitem", "orders", "customer", "supplier", "events"},
@@ -740,7 +780,9 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     scale300_duck: dict[str, float] = {}
     scale300_err = None
     try:
-        if SCALE300_QUERIES and os.environ.get("SPARK_GRAFT_SCALE300", "1") == "1":
+        if low_core:
+            scale300_err = low_core_skip
+        elif SCALE300_QUERIES and os.environ.get("SPARK_GRAFT_SCALE300", "1") == "1":
             s300_dir = _build_scaled_dir(
                 sf_dir, factor=300,
                 scale_tables={"lineitem", "orders", "customer", "supplier"},
@@ -762,6 +804,9 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
     try:
         s1000_tables = {"lineitem", "orders", "customer", "supplier"}
         run_1000 = os.environ.get("SPARK_GRAFT_SCALE1000", "1") == "1"
+        if low_core:
+            run_1000 = False
+            scale1000_err = low_core_skip
         if run_1000:
             import shutil as _sh
             import tempfile as _tf
@@ -795,7 +840,16 @@ def main(headline=None, scale_queries=None, sf_dir=None, spark=None) -> dict:
             # into both engines so the draw count stays even — recovers the
             # healthy-window numbers the three-draw spread proves exist.
             # The DuckDB sweep above provides the temporal separation.
-            if scale1000_floor["spark_noop_sec"] > 1.5 * headline_floor["spark_noop_sec"]:
+            # Two triggers: RELATIVE (section degraded vs this run's own
+            # headline window) and ABSOLUTE (the whole session degraded vs
+            # the healthy-host reference — the r12 case the relative gate
+            # missed; see _HEALTHY_NOOP_REF_SEC).
+            if (
+                scale1000_floor["spark_noop_sec"]
+                > 1.5 * headline_floor["spark_noop_sec"]
+                or scale1000_floor["spark_noop_sec"]
+                > 1.5 * _HEALTHY_NOOP_REF_SEC
+            ):
                 scale1000_retried = True
                 _recycle()
                 _pretouch(s1000_dir)

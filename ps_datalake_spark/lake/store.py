@@ -740,7 +740,11 @@ class Store:
         )
         # repartition on the partition column: exactly one file per prefix per
         # append (at scale: avoids the tasks×partitions small-file explosion)
-        staged.repartition("hash_prefix").write.mode("append").partitionBy(
+        staged = staged.repartition("hash_prefix")
+        from ..plandump import dump_plan
+
+        dump_plan(staged, "put_blobs_append_chunks")  # the put's write job
+        staged.write.mode("append").partitionBy(
             "hash_prefix"
         ).parquet(self._active_path("chunks"))
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plandump import dump_plan
+
 
 def tokenize(text: Column) -> Column:
     """Lowercased whitespace tokens (matches DuckDB string_split_regex)."""
@@ -153,13 +155,14 @@ def jaccard_pairs(
         sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
         sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
         jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-        return (
+        out = (
             inter.join(sa, "id_a")
             .join(sb, "id_b")
             .select("id_a", "id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
-            .localCheckpoint(eager=True)
         )
+        dump_plan(out, "jaccard_pairs_builder")  # pre-checkpoint builder job
+        return out.localCheckpoint(eager=True)
     finally:
         sh.unpersist()
 
@@ -298,13 +301,14 @@ def minhash_neardup_pairs(
                 lambda v: v == 1,
             )
         )
-        return (
+        out = (
             cands.join(sa, "id_a")
             .join(sb, "id_b")
             .select("id_a", "id_b", (agree / F.lit(k)).alias("est_jaccard"))
             .where(F.col("est_jaccard") >= threshold)
-            .localCheckpoint(eager=True)
         )
+        dump_plan(out, "minhash_neardup_pairs_builder")  # pre-checkpoint job
+        return out.localCheckpoint(eager=True)
     finally:
         sigs.unpersist()
 

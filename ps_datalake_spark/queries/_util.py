@@ -20,29 +20,9 @@ def scratch_dir(name: str) -> str:
     return os.path.join(base, name)
 
 
-def dump_plan(df: DataFrame, name: str) -> None:
-    """Write ``explain('formatted')`` of a BUILDER-JOB DataFrame to
-    ``$PSDL_PLAN_DUMP/<name>.txt`` when that env var is set (no-op otherwise).
-
-    Checkpointed pipelines commit only a ``Scan ExistingRDD`` stub as their
-    final plan, so the plan evidence for the jobs that do the real work —
-    the pre-``localCheckpoint``/persist builder stages — was previously
-    uncapturable (r12 verdict #4: the shipped b64 exchange never appeared in
-    any committed plan).  Call this immediately before each checkpoint/
-    materialization barrier; tools/dump_builder_plans.py sets the env var
-    and collects the files.  Cost when unset: one os.environ lookup."""
-    out = os.environ.get("PSDL_PLAN_DUMP")
-    if not out:
-        return
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    os.makedirs(out, exist_ok=True)
-    with open(os.path.join(out, f"{name}.txt"), "w") as f:
-        f.write(buf.getvalue())
+from ..plandump import dump_plan  # noqa: F401 — re-export (query modules
+# import it from here; implementation lives outside the queries package so
+# operators/lake can import it without a circular import)
 
 
 def sweep_stale_scratch(max_age_sec: int = 3600) -> int:

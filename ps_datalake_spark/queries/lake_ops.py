@@ -3,10 +3,15 @@
 through the Spark store and checked against a DuckDB oracle that recomputes
 the expected content-addressing arithmetic from the documents table.
 
-Scratch stores are keyed by sf_dir and REUSED across invocations: content
-addressing makes puts idempotent, so counts stay deterministic without a
-store rebuild per call. The sentinel chunk written at store create (reference
-page-0 analog) is accounted for explicitly (+1 in the oracles).
+Scratch-store policy (r12 verdict #1): the BENCH-TIMED path (b38_put_dedup)
+uses a FRESH per-run store — a reused store would let the timed puts dedup
+against a previous run's appends and skip the encrypt+append work a cold run
+pays, flattering the recorded number (cross-run precomputation, not
+optimization).  Non-timed correctness paths keep `_stable_store` (keyed by
+sf_dir, reused across invocations): content addressing makes puts idempotent,
+so counts stay deterministic without a store rebuild per call.  The sentinel
+chunk written at store create (reference page-0 analog) is accounted for
+explicitly (+1 in the oracles).
 """
 
 from __future__ import annotations
@@ -72,21 +77,34 @@ def _doc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "put idempotence (reference store/mod.rs:321-326).",
 )
 def b38_put_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = _stable_store(spark, "q_store_dedup", sf_dir)
-    blobs = _doc_blobs(spark, sf_dir)
-    first = store.put_blobs(blobs)
-    # put_blobs is eager (appends committed, result localCheckpointed), so the
-    # second put needs no action of its own, and n_blobs/n_raw read the
-    # checkpointed mapping in ONE aggregate — 3 serial driver jobs fewer per
-    # run than the count()-per-statistic draft (r12 optimization; results
-    # identical by construction)
-    store.put_blobs(blobs)  # idempotent second put (eager inside)
-    stats = first.agg(
-        F.count("*").alias("n_blobs"),
-        F.sum(F.col("hkey").startswith("raw:").cast("long")).alias("n_raw"),
-    ).head()
-    n_blobs, n_raw = int(stats["n_blobs"]), int(stats["n_raw"] or 0)
-    n_chunk_rows = store.chunks().count()
+    import uuid
+
+    # FRESH store per invocation (r12 verdict #1): this is the bench-TIMED
+    # put path, so every run must pay the full encrypt+append work — a store
+    # reused across runs (the old sf_dir-keyed `_stable_store`) let every
+    # run after the first dedup against the previous run's appends, skipping
+    # the write work a cold run pays.  The UUID dir is removed in `finally`;
+    # a hard-killed run's leftover is caught by sweep_stale_scratch (the
+    # prefix is registered there).
+    path = scratch_dir(f"q_store_dedup_run_{uuid.uuid4().hex[:12]}")
+    store = Store.create(spark, path, prefix_len=1)
+    try:
+        blobs = _doc_blobs(spark, sf_dir)
+        first = store.put_blobs(blobs)
+        # put_blobs is eager (appends committed, result localCheckpointed), so
+        # the second put needs no action of its own, and n_blobs/n_raw read
+        # the checkpointed mapping in ONE aggregate — 3 serial driver jobs
+        # fewer per run than the count()-per-statistic draft (r12
+        # optimization; results identical by construction)
+        store.put_blobs(blobs)  # idempotent second put (eager inside)
+        stats = first.agg(
+            F.count("*").alias("n_blobs"),
+            F.sum(F.col("hkey").startswith("raw:").cast("long")).alias("n_raw"),
+        ).head()
+        n_blobs, n_raw = int(stats["n_blobs"]), int(stats["n_raw"] or 0)
+        n_chunk_rows = store.chunks().count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
         [(n_blobs, n_raw, n_chunk_rows)], "n_blobs bigint, n_raw bigint, n_chunk_rows bigint"
     )

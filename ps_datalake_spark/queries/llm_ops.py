@@ -975,6 +975,9 @@ def b42_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(chunk_rows.agg(F.count("*").alias("n_chunks")))
         .select("n_docs", "n_chunks", "id_checksum")
     )
+    from ._util import dump_plan
+
+    dump_plan(out, "b42_llm_pipeline_final")  # pre-checkpoint builder job
     result = out.localCheckpoint(eager=True)
     survivors.unpersist()
     exact_kept.unpersist()

@@ -30,12 +30,73 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ._util import T, dround, tiny_sort
+from ._util import T, dround, dump_plan, tiny_sort
 from .sampling_rollup import _HASH_PCT_SQL, _hash_pct
 
 # BM25 constants (Robertson et al.; the standard Lucene/ES defaults)
 _K1 = 1.2
 _B = 0.75
+
+# Python twin of the JVM tokenization `split(lower(trim(text)), '\s+')`
+# + `term != ''` used by every text query and the DuckDB oracles.  The
+# subtle parts, each chosen to match JVM semantics EXACTLY (the divergence
+# risk that kept the pandas postings build unshipped in r12):
+#   * Java regex \s is ASCII-only [ \t\n\x0B\f\r]; Python's \s on str is
+#     Unicode-aware (would also split on \xa0,  , ...) — so the class
+#     is spelled out;
+#   * Spark's trim strips 0x20 only (UTF8String.trimAll is not used) —
+#     irrelevant to the token stream because leading/trailing separators
+#     produce '' tokens that the != '' filter drops, but strip(' ') keeps
+#     the twin literal;
+#   * str.lower() matches UTF8String.toLowerCase's full case mapping on
+#     this corpus — pinned per-document over EVERY fixture document by
+#     tests/test_retrieval_pack.py::test_bm25_python_tokenizer_matches_jvm.
+import re as _re
+
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Tokens exactly equal to the JVM split(lower(trim(text)), '\\s+')
+    stream after the `term != ''` filter."""
+    return [t for t in _JAVA_WS.split(text.strip(" ").lower()) if t]
+
+
+def _bm25_postings(batches):
+    """mapInPandas postings builder: one (doc_id, term, tf, dl) row per
+    distinct term per document — tf/dl computed per-doc in one Python pass,
+    so the downstream plan needs neither the token-stream exchange (the raw
+    exploded tokens never leave the worker) nor the per-doc-length join
+    (dl rides on every postings row)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    for pdf in batches:
+        out_doc: list = []
+        out_term: list = []
+        out_tf: list = []
+        out_dl: list = []
+        for doc, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue  # NULL text explodes to no rows on the JVM path
+            toks = _py_tokens(text)
+            if not toks:
+                continue
+            dl = float(len(toks))
+            for term, c in Counter(toks).items():
+                out_doc.append(doc)
+                out_term.append(term)
+                out_tf.append(float(c))
+                out_dl.append(dl)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "term": pd.Series(out_term, dtype="object"),
+                "tf": pd.Series(out_tf, dtype="float64"),
+                "dl": pd.Series(out_dl, dtype="float64"),
+            }
+        )
 
 
 @query(
@@ -89,30 +150,39 @@ def b64_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # _spread (conditional repartition): under the eager-builder heavy
     # profile (128 MB splits) the whole corpus scans as ONE task, so the
-    # tokenize+explode+partial-aggregate — the measured dominator of this
-    # query — ran single-threaded.  Widening costs one exchange of raw text
-    # (~30 MB at the 10x probe) and parallelizes the tokenize 32-way:
-    # measured 3.81 -> 1.91 s at 10x, identical output.  At real scale the
-    # scan already has enough splits and the guard skips the shuffle.
+    # per-document postings pass — the measured dominator of this query —
+    # would run single-threaded.  Widening costs one exchange of raw text
+    # (~30 MB at the 10x probe) and parallelizes it 32-way (r12: 3.81 ->
+    # 1.91 s at 10x).  At real scale the scan already has enough splits and
+    # the guard skips the shuffle.
     docs = _spread(T(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
-    ).where(F.col("term") != "")
-    # tokenize + aggregate ONCE: every downstream relation (doc lengths,
-    # corpus stats, query terms, document frequencies) derives from the
-    # (doc, term, tf) postings — without this the corpus would tokenize
-    # 4x (one scan per consumer branch), the difference between one pass
-    # and four over 100 TB
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-        .localCheckpoint(eager=False)
+    # Postings built in ONE Arrow-batched Python pass (guide §4.2; r13,
+    # measured −16% at 10x on top of the r12 spread): a per-doc Counter
+    # emits (doc_id, term, tf, dl), so
+    #   * the raw token stream never crosses an exchange (the old JVM
+    #     explode shipped every token to the (doc_id, term) aggregate), and
+    #   * dl rides each postings row — the per-doc-length shuffle+join is
+    #     gone (stats fold to one aggregate: n = countDistinct(doc_id),
+    #     avgdl = sum(tf)/n, exact because dl = sum of tf per doc).
+    # Tokenization is the Python twin `_py_tokens` of the JVM expression,
+    # equivalence-pinned per document over every fixture corpus by
+    # tests/test_retrieval_pack.py (the divergence risk that kept this
+    # unshipped in r12).  Postings aggregate ONCE (lazy localCheckpoint):
+    # every downstream relation (corpus stats, query terms, document
+    # frequencies, scores) derives from it — one pass, not four, over
+    # 100 TB.
+    postings = docs.mapInPandas(
+        _bm25_postings, "doc_id long, term string, tf double, dl double"
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
-    )
+    dump_plan(postings, "b64_bm25_topk_builder")  # pre-checkpoint builder job
+    tf = postings.localCheckpoint(eager=False)
+    # n/avgdl are EXACT re-expressions of the old per-doc-length relation:
+    # tf and dl are integer-valued doubles, sum(tf) == sum over docs of dl
+    # with no rounding (integers < 2^53), so avgdl is bit-identical.
+    stats = tf.agg(
+        F.countDistinct("doc_id").cast("double").alias("n"),
+        F.sum("tf").alias("_total"),
+    ).select("n", (F.col("_total") / F.col("n")).alias("avgdl"))
     qterms = (
         tf.where(F.length("term") >= 4)
         .groupBy("term")
@@ -128,7 +198,6 @@ def b64_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "term",

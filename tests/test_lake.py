@@ -411,3 +411,27 @@ def test_torn_create_is_not_reusable(spark, tmp_path):
     except Corrupted as e:
         assert "torn create" in str(e)
     shutil.rmtree(p2, ignore_errors=True)
+
+
+def test_b38_put_dedup_uses_fresh_per_run_store(spark, sf_dir):
+    """r13 (r12 verdict #1): the bench-TIMED put path must not reuse a store
+    across runs — a warm store lets the timed puts dedup against a previous
+    run's appends and skip the encrypt+append work a cold run pays.  Two
+    invocations must (a) agree (idempotent counts), and (b) leave no
+    q_store_dedup_run_* scratch behind (fresh dir per run, removed in
+    finally)."""
+    import glob
+    import os
+
+    from ps_datalake_spark.queries._util import scratch_dir
+    from ps_datalake_spark.queries.lake_ops import b38_put_dedup
+
+    pattern = os.path.join(
+        os.path.dirname(scratch_dir("x")), "q_store_dedup_run_*"
+    )
+    r1 = b38_put_dedup(spark, sf_dir).collect()
+    leftover_after_first = glob.glob(pattern)
+    r2 = b38_put_dedup(spark, sf_dir).collect()
+    assert r1 == r2
+    assert leftover_after_first == [], leftover_after_first
+    assert glob.glob(pattern) == []
