@@ -78,19 +78,24 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
-def jaccard_pairs(
+def jaccard_pairs_lazy(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.3,
     spread: bool = True,
-) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
+) -> tuple[DataFrame, DataFrame]:
+    """Exact n-gram Jaccard pairs, UNMATERIALIZED: returns (pairs, shingles).
 
-    Shuffle is keyed on the shingle (posting-list join), so cost is
-    sum(df_shingle²) not docs² — the standard exact-verification stage after
-    an LSH candidate pass at scale.
+    The caller must run exactly one action (or checkpoint) over ``pairs``
+    and then unpersist the returned ``shingles`` handle.  Exists so a
+    pipeline whose next step is itself a materialization barrier (b42's
+    final aggregate) can FUSE the two barriers into one eager action
+    instead of two serial ones (guide §5 driver; r13 A/B: b42 12.32 ->
+    11.72 s at 10x, 1.40 -> 1.35 s at sf0.1, fused won every settled
+    round).  :func:`jaccard_pairs` is the materializing wrapper with the
+    original contract.
     """
     # One shingle materialization feeds both join sides AND the size table
     # (shingling via interpreted higher-order expressions computed 3× tripled
@@ -143,24 +148,44 @@ def jaccard_pairs(
     sh = (_spread(src) if spread else src).mapInPandas(
         _shingle_rows, "doc long, sh long"
     ).persist()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out, sh
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+    spread: bool = True,
+) -> DataFrame:
+    """Materialized exact n-gram Jaccard pairs (id_a < id_b, j >= threshold).
+
+    Shuffle is keyed on the shingle (posting-list join), so cost is
+    sum(df_shingle²) not docs² — the standard exact-verification stage after
+    an LSH candidate pass at scale.
+    """
+    out, sh = jaccard_pairs_lazy(
+        df, id_col, text_col, n=n, threshold=threshold, spread=spread
+    )
     try:
-        sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-        a = sh.alias("a")
-        b = sh.alias("b")
-        inter = (
-            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-            .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-            .agg(F.count("*").alias("inter"))
-        )
-        sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
-        sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
-        jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-        out = (
-            inter.join(sa, "id_a")
-            .join(sb, "id_b")
-            .select("id_a", "id_b", jac.alias("jaccard"))
-            .where(F.col("jaccard") >= threshold)
-        )
         dump_plan(out, "jaccard_pairs_builder")  # pre-checkpoint builder job
         return out.localCheckpoint(eager=True)
     finally:
@@ -258,18 +283,44 @@ def banded_signatures(sig_df: DataFrame, bands: int = 16, sig_len: int = 64) -> 
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16, sig_len: int = 64) -> DataFrame:
-    """Banded LSH: docs agreeing on any band of the signature become candidates."""
+    """Banded LSH: docs agreeing on any band of the signature become candidates.
+
+    Bucket-aggregate shape (r13, guide §2.1/§2.4): the banded relation is
+    BANDED ONCE and crosses ONE hash exchange — groupBy (band_idx,
+    band_hash) collects each bucket's sorted doc array and pairs are
+    generated in-partition by higher-order expressions (x from position i
+    pairs with every later y, so id_a < id_b with no duplicates inside a
+    bucket; a doc appears at most once per bucket by construction).  The
+    previous self-join evaluated the banding expression on BOTH join sides
+    (two Generate branches over the cached signatures — exchange/subtree
+    reuse cannot fire across the planner-nondeterministic Python signature
+    stage) and then either built a bucket-count-sized broadcast hash
+    relation per run (the executed AQE plan at the probes,
+    plans/r13/b35_lsh_candidates_10x_before.txt) or, above the broadcast
+    threshold at real scale, paid two full hash exchanges into the join.
+    Interleaved A/B: 3.528 -> 3.383 s at the 10x corpus (won every round;
+    sf0.1 a wash at ~1.7 s).  Output pair multiset is identical; the same
+    trailing distinct dedups across bands.  A pathological all-duplicates
+    bucket costs one 8m-byte array here vs a streamed m-row join partition
+    before — both shapes then pay the same O(m²) candidate explosion
+    downstream, so the memory delta is not the binding constraint."""
     banded = banded_signatures(sig_df, bands=bands, sig_len=sig_len)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -949,8 +949,15 @@ def b42_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     # spread=False: exact_kept is post-shuffle (dedup window) — already as
-    # wide as AQE wants; the auto-widening exchange would only add a stage
-    near = D.jaccard_pairs(exact_kept, "doc_id", "text", n=3, threshold=0.5, spread=False)
+    # wide as AQE wants; the auto-widening exchange would only add a stage.
+    # LAZY variant (r13, guide §5): the pairs stay unmaterialized so the
+    # jaccard barrier FUSES into the final aggregate's checkpoint — one
+    # eager action instead of two serial ones (A/B: 12.32 -> 11.72 s at
+    # 10x, 1.40 -> 1.35 s at sf0.1, fused won every settled round); the
+    # shingle persist is released after that single materialization.
+    near, _sh = D.jaccard_pairs_lazy(
+        exact_kept, "doc_id", "text", n=3, threshold=0.5, spread=False
+    )
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = exact_kept.join(drop, "doc_id", "left_anti").select("doc_id", "text")
     survivors = survivors.persist()
@@ -978,7 +985,8 @@ def b42_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import dump_plan
 
     dump_plan(out, "b42_llm_pipeline_final")  # pre-checkpoint builder job
-    result = out.localCheckpoint(eager=True)
+    result = out.localCheckpoint(eager=True)  # the pipeline's ONLY barrier
+    _sh.unpersist()
     survivors.unpersist()
     exact_kept.unpersist()
     return result
