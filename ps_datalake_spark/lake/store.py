@@ -246,21 +246,43 @@ class Store:
         # sweep: a crashed create left a sniffable store whose chunk count
         # was forever one short).
         import hashlib
+        import uuid
 
         plain = SENTINEL + b"\0" * inline_max
         key = crypto.convergent_key(plain)
         cipher = crypto.encrypt_as(manifest["cipher"], plain, key)
-        row = (
-            hashlib.sha256(cipher).hexdigest(),
-            len(plain),
-            manifest["cipher"],
-            bytearray(cipher),
+        h = hashlib.sha256(cipher).hexdigest()
+        # Direct pyarrow write of the one-row sentinel (r13, guide §5): a
+        # distributed write job for 158 bytes is pure job-launch overhead —
+        # one full Spark job per Store.create, paid per run by every
+        # fresh-store query path.  The file lands in the same
+        # chunks/hash_prefix=<p>/ directory layout partitionBy produced;
+        # every reader supplies CHUNKS_SCHEMA explicitly, so nothing depends
+        # on writer-specific metadata.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part_dir = os.path.join(path, "chunks", f"hash_prefix={h[:prefix_len]}")
+        os.makedirs(part_dir, exist_ok=True)
+        table = pa.table(
+            {
+                "hash": [h],
+                "size": [len(plain)],
+                "enc": [manifest["cipher"]],
+                "data": [cipher],
+            },
+            schema=pa.schema(
+                [
+                    ("hash", pa.string()),
+                    ("size", pa.int64()),
+                    ("enc", pa.string()),
+                    ("data", pa.binary()),
+                ]
+            ),
         )
-        spark.createDataFrame(
-            [row], "hash string, size long, enc string, data binary"
-        ).withColumn("hash_prefix", F.substring("hash", 1, prefix_len)).coalesce(1).write.mode(
-            "append"
-        ).partitionBy("hash_prefix").parquet(os.path.join(path, "chunks"))
+        pq.write_table(
+            table, os.path.join(part_dir, f"part-00000-{uuid.uuid4().hex}.parquet")
+        )
         with open(os.path.join(path, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
         return cls(spark, path, readonly=False, manifest=manifest)
